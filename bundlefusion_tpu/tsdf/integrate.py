@@ -1,0 +1,286 @@
+"""TSDF allocate + integrate/de-integrate (fixed-shape, jittable).
+
+Reproduces the behavior of the reference's scene-rep kernels
+(``CUDASceneRepHashSDF.cu``): per-frame block allocation along camera rays in
+the truncation band (``allocKernel:165-251``), in-frustum block
+compactification (``compactifyHashAllInOneKernel:324-366``), and the
+integrate/de-integrate voxel update (``integrateDepthMapKernel<bool
+deIntegrate>:420-521``) — the signed-weight twist that enables BundleFusion's
+on-the-fly re-integration.
+
+TPU design notes:
+- de-integration is the same program with ``sign=-1``; colors are stored
+  premultiplied by weight so subtraction is the exact inverse of addition.
+- all stages are fixed-shape: candidate blocks are deduped by sort, visible
+  blocks are compacted by cumsum-scatter into a fixed-capacity index list.
+- the depth camera model, truncation growth with depth, max integration
+  distance and per-sample weights match the reference's parameters
+  (``zParametersDefault.txt:39-47``).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from bundlefusion_tpu.geometry.camera import CameraIntrinsics
+from bundlefusion_tpu.geometry.lie import pose_inverse, transform_points
+from bundlefusion_tpu.tsdf.table import (
+    BLOCK_SIZE,
+    BLOCK_VOLUME,
+    EMPTY_KEY,
+    VoxelBlockTable,
+    allocate,
+    block_to_world,
+    lookup_blocks,
+    pack_block_coords,
+    unpack_key,
+    voxel_to_block,
+)
+
+
+class TsdfParams(NamedTuple):
+    voxel_size: float = 0.01
+    truncation: float = 0.06
+    truncation_scale: float = 0.02     # extra truncation per meter of depth
+    max_integration_distance: float = 3.0
+    integration_weight_sample: float = 1.0
+    integration_weight_max: float = 99999999.0
+    depth_min: float = 0.1
+    depth_max: float = 4.0
+
+
+def truncation_at(params: TsdfParams, depth):
+    """Depth-dependent truncation band (reference ``getTruncation``)."""
+    return params.truncation + params.truncation_scale * depth
+
+
+# ---------------------------------------------------------------------------
+# Allocation
+# ---------------------------------------------------------------------------
+
+
+def candidate_blocks(
+    depth,
+    intr: CameraIntrinsics,
+    cam_to_world,
+    params: TsdfParams,
+    samples_per_ray: int = 5,
+    stride: int = 2,
+):
+    """Candidate block coords along each pixel ray within the truncation band.
+
+    The reference DDA-walks each depth ray through [d - trunc, d + trunc]
+    (``allocKernel``). Here we take ``samples_per_ray`` evenly spaced samples
+    in that band and emit the containing block of each — at default settings
+    (band ~14 cm, block 8 cm) consecutive samples are < 1 block apart so
+    coverage matches the DDA. ``stride`` subsamples pixels (each block's
+    footprint at 0.5 m is ~20 px, so stride 2 loses nothing).
+
+    Returns (coords [M, 3] int32, valid [M] bool).
+    """
+    d = depth[::stride, ::stride]
+    H, W = d.shape
+    v = (jnp.arange(H, dtype=jnp.float32) * stride)[:, None]
+    u = (jnp.arange(W, dtype=jnp.float32) * stride)[None, :]
+    valid = jnp.isfinite(d) & (d >= params.depth_min) & (
+        d <= jnp.minimum(params.depth_max, params.max_integration_distance)
+    )
+    dirs = jnp.stack(
+        [(u - intr.cx) / intr.fx, (v - intr.cy) / intr.fy, jnp.ones_like(d)], -1
+    )
+    trunc = truncation_at(params, d)
+    ts = jnp.linspace(-1.0, 1.0, samples_per_ray, dtype=jnp.float32)
+    # [S, H, W] depths of samples along each ray
+    zs = d[None] + ts[:, None, None] * trunc[None]
+    pts_cam = dirs[None] * zs[..., None]  # [S, H, W, 3]
+    pts_world = transform_points(cam_to_world, pts_cam)
+    vox = jnp.floor(pts_world / params.voxel_size).astype(jnp.int32)
+    block = jnp.floor_divide(vox, BLOCK_SIZE)
+    m = valid[None].repeat(samples_per_ray, 0) & (zs > 0)
+    return block.reshape(-1, 3), m.reshape(-1)
+
+
+def allocate_for_frame(
+    table: VoxelBlockTable,
+    depth,
+    intr: CameraIntrinsics,
+    cam_to_world,
+    params: TsdfParams,
+) -> VoxelBlockTable:
+    coords, valid = candidate_blocks(depth, intr, cam_to_world, params)
+    return allocate(table, coords, valid)
+
+
+# ---------------------------------------------------------------------------
+# Visible-block compactification
+# ---------------------------------------------------------------------------
+
+
+def visible_block_indices(
+    table: VoxelBlockTable,
+    intr: CameraIntrinsics,
+    cam_to_world,
+    params: TsdfParams,
+    cap: int,
+    margin_blocks: float = 1.0,
+):
+    """Compact list of table positions whose block intersects the frustum.
+
+    Mirrors ``compactifyHashAllInOneKernel``: a block is visible if its
+    center (padded by its diagonal) projects inside the image within
+    [depth_min, depth_max]. Returns (positions [cap] int32 with -1 padding,
+    count int32).
+    """
+    world_to_cam = pose_inverse(cam_to_world)
+    coords = unpack_key(table.keys)
+    centers = block_to_world(coords, params.voxel_size) + 0.5 * BLOCK_SIZE * params.voxel_size
+    c_cam = transform_points(world_to_cam, centers)
+    z = c_cam[..., 2]
+    pad = margin_blocks * BLOCK_SIZE * params.voxel_size
+    u = c_cam[..., 0] / jnp.maximum(z, 1e-6) * intr.fx + intr.cx
+    v = c_cam[..., 1] / jnp.maximum(z, 1e-6) * intr.fy + intr.cy
+    pad_px_u = pad * intr.fx / jnp.maximum(z, 1e-6)
+    pad_px_v = pad * intr.fy / jnp.maximum(z, 1e-6)
+    vis = (
+        (table.keys != EMPTY_KEY)
+        & (z > params.depth_min - pad)
+        & (z < params.depth_max + pad)
+        & (u >= -pad_px_u)
+        & (u <= intr.width - 1 + pad_px_u)
+        & (v >= -pad_px_v)
+        & (v <= intr.height - 1 + pad_px_v)
+    )
+    pos = jnp.cumsum(vis.astype(jnp.int32)) - 1
+    out = jnp.full((cap,), -1, jnp.int32)
+    scatter_to = jnp.where(vis & (pos < cap), pos, cap)
+    out = out.at[scatter_to].set(jnp.arange(table.capacity, dtype=jnp.int32), mode="drop")
+    count = jnp.minimum(jnp.sum(vis.astype(jnp.int32)), cap)
+    return out, count
+
+
+# ---------------------------------------------------------------------------
+# Integrate / de-integrate
+# ---------------------------------------------------------------------------
+
+
+def _block_voxel_world_positions(block_coords, params: TsdfParams):
+    """[K, 3] block coords -> [K, BLOCK_VOLUME, 3] voxel-center world positions."""
+    r = jnp.arange(BLOCK_SIZE, dtype=jnp.float32)
+    zz, yy, xx = jnp.meshgrid(r, r, r, indexing="ij")
+    local = jnp.stack([xx, yy, zz], -1).reshape(BLOCK_VOLUME, 3)  # lin = (z*8+y)*8+x
+    corner = block_to_world(block_coords, params.voxel_size)
+    return corner[:, None, :] + (local[None] + 0.5) * params.voxel_size
+
+
+def integrate_frame(
+    table: VoxelBlockTable,
+    depth,
+    color,
+    intr: CameraIntrinsics,
+    cam_to_world,
+    params: TsdfParams,
+    visible_positions,
+    sign: float = 1.0,
+) -> VoxelBlockTable:
+    """Fuse (sign=+1) or un-fuse (sign=-1) one RGB-D frame.
+
+    Args:
+      depth: [H, W] float32 meters (non-finite / <=0 invalid).
+      color: [H, W, 3] float32 in [0, 1].
+      visible_positions: [cap] compacted key-table positions from
+        ``visible_block_indices`` (padding = -1).
+
+    Voxel update (reference ``integrateDepthMapKernel``): project voxel
+    center into the depth image, nearest-sample depth, sdf = depth - z;
+    integrate if sdf > -truncation; clamp positive sdf to truncation;
+    running weighted average via (sum, weight) accumulators. De-integration
+    subtracts the identical contribution.
+    """
+    vp = visible_positions
+    valid_block = vp >= 0
+    safe_vp = jnp.clip(vp, 0, table.capacity - 1)
+    slots = jnp.where(valid_block, table.slots[safe_vp], table.num_blocks)
+    coords = unpack_key(table.keys[safe_vp])
+
+    pts_world = _block_voxel_world_positions(coords, params)  # [K, V, 3]
+    world_to_cam = pose_inverse(cam_to_world)
+    pts_cam = transform_points(world_to_cam, pts_world)
+    z = pts_cam[..., 2]
+    u = jnp.round(pts_cam[..., 0] / jnp.maximum(z, 1e-6) * intr.fx + intr.cx).astype(jnp.int32)
+    v = jnp.round(pts_cam[..., 1] / jnp.maximum(z, 1e-6) * intr.fy + intr.cy).astype(jnp.int32)
+    inb = (u >= 0) & (u < intr.width) & (v >= 0) & (v < intr.height) & (z > 0)
+    uc = jnp.clip(u, 0, intr.width - 1)
+    vc = jnp.clip(v, 0, intr.height - 1)
+    d = depth[vc, uc]
+    rgb = color[vc, uc]
+
+    depth_ok = (
+        jnp.isfinite(d)
+        & (d >= params.depth_min)
+        & (d <= jnp.minimum(params.depth_max, params.max_integration_distance))
+    )
+    sdf = d - z
+    trunc = truncation_at(params, d)
+    in_band = sdf > -trunc
+    upd = inb & depth_ok & in_band & valid_block[:, None]
+    sdf_cl = jnp.minimum(sdf, trunc)
+    # depth-falloff sample weight (reference uses constant 1 by default;
+    # keep constant for parity)
+    w_new = jnp.where(upd, params.integration_weight_sample, 0.0) * sign
+
+    old_sdf = table.sdf[slots.clip(0, table.num_blocks - 1)]
+    old_w = table.weight[slots.clip(0, table.num_blocks - 1)]
+    old_c = table.color[slots.clip(0, table.num_blocks - 1)]
+
+    new_w = jnp.clip(old_w + w_new, 0.0, params.integration_weight_max)
+    applied_w = new_w - old_w  # actual delta after clamping
+    # store weighted sums: sdf stored as mean, so convert via weights
+    sum_sdf = old_sdf * old_w + jnp.where(upd, sdf_cl, 0.0) * applied_w
+    new_sdf = jnp.where(new_w > 0, sum_sdf / jnp.maximum(new_w, 1e-12), 0.0)
+    new_c = old_c + jnp.where(upd, rgb, 0.0)[...] * applied_w[..., None]
+    new_c = jnp.maximum(new_c, 0.0)
+
+    scatter_slots = jnp.where(valid_block, slots, table.num_blocks)
+    return table._replace(
+        sdf=table.sdf.at[scatter_slots].set(new_sdf, mode="drop"),
+        weight=table.weight.at[scatter_slots].set(new_w, mode="drop"),
+        color=table.color.at[scatter_slots].set(new_c, mode="drop"),
+    )
+
+
+@partial(jax.jit, static_argnames=("intr", "params", "cap"))
+def integrate(
+    table: VoxelBlockTable,
+    depth,
+    color,
+    intr: CameraIntrinsics,
+    cam_to_world,
+    params: TsdfParams,
+    cap: int = 32768,
+) -> VoxelBlockTable:
+    """Full integrate step: allocate -> compactify -> fuse."""
+    table = allocate_for_frame(table, depth, intr, cam_to_world, params)
+    vis, _ = visible_block_indices(table, intr, cam_to_world, params, cap)
+    return integrate_frame(table, depth, color, intr, cam_to_world, params, vis, 1.0)
+
+
+@partial(jax.jit, static_argnames=("intr", "params", "cap"))
+def deintegrate(
+    table: VoxelBlockTable,
+    depth,
+    color,
+    intr: CameraIntrinsics,
+    cam_to_world,
+    params: TsdfParams,
+    cap: int = 32768,
+) -> VoxelBlockTable:
+    """Remove a previously integrated frame at pose ``cam_to_world``.
+
+    No allocation (blocks must already exist); weights clamp at zero.
+    """
+    vis, _ = visible_block_indices(table, intr, cam_to_world, params, cap)
+    return integrate_frame(table, depth, color, intr, cam_to_world, params, vis, -1.0)

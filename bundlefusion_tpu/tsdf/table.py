@@ -1,0 +1,267 @@
+"""Block-sparse TSDF voxel table — the TPU-native voxel hash.
+
+The reference implements a bucketed spatial hash with linked-list collision
+chains, per-bucket mutexes and an atomic free-block heap
+(``DepthSensing/VoxelUtilHashSDF.h:56-350``). None of that maps to XLA's
+static-shape, race-free model. The TPU design replaces it with a **sorted key
+table**:
+
+- ``keys``:   int32[capacity], packed block coordinates, sorted ascending,
+  with EMPTY = int32 max as the sentinel (sorts last).
+- ``slots``:  int32[capacity], voxel-data slot for each key.
+- lookup    = ``jnp.searchsorted`` (vectorized binary search — no probing,
+  no collision chains, O(log capacity) gathers per query).
+- alloc     = sort-unique the frame's candidate block coords, drop those
+  already present, pop slots from a free-list stack, then merge by
+  re-sorting (EMPTY sentinels fall off the end). One sort per integrated
+  frame, fully parallel, no atomics.
+- free      = mark keys EMPTY, push slots back, re-sort.
+
+Voxel payload per block (8^3 voxels, SDF_BLOCK_SIZE=8 as in the reference):
+``sdf`` float32, ``weight`` float32, ``color`` float32 RGB premultiplied by
+weight (so de-integration is a plain subtraction; the reference instead blends
+colors 0.2/0.8 on integrate and inverts the blend on de-integrate,
+``CUDASceneRepHashSDF.cu:420-521`` — premultiplied storage makes
+integrate/de-integrate exactly inverse operations, which the reference's color
+path is not).
+
+Block coordinates live in [-GRID_HALF, GRID_HALF)^3 and pack into 30 bits.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+BLOCK_SIZE = 8  # voxels per side (SDF_BLOCK_SIZE)
+BLOCK_VOLUME = BLOCK_SIZE**3
+GRID_BITS = 10  # 1024 blocks per axis
+GRID_DIM = 1 << GRID_BITS
+GRID_HALF = GRID_DIM // 2
+EMPTY_KEY = jnp.int32(2**31 - 1)
+
+
+class VoxelBlockTable(NamedTuple):
+    """Pytree of arrays holding the sparse TSDF volume."""
+
+    keys: jax.Array       # int32[capacity], sorted, EMPTY_KEY padded
+    slots: jax.Array      # int32[capacity], voxel slot per key
+    sdf: jax.Array        # float32[num_blocks, BLOCK_VOLUME]
+    weight: jax.Array     # float32[num_blocks, BLOCK_VOLUME]
+    color: jax.Array      # float32[num_blocks, BLOCK_VOLUME, 3] premult. by weight
+    free_list: jax.Array  # int32[num_blocks] stack of free slots
+    free_count: jax.Array # int32[] number of free slots
+    num_alloc_failures: jax.Array  # int32[] overflow accounting
+
+    @property
+    def capacity(self) -> int:
+        return self.keys.shape[0]
+
+    @property
+    def num_blocks(self) -> int:
+        return self.sdf.shape[0]
+
+
+def create_table(capacity: int, num_blocks: int) -> VoxelBlockTable:
+    return VoxelBlockTable(
+        keys=jnp.full((capacity,), EMPTY_KEY, jnp.int32),
+        slots=jnp.full((capacity,), -1, jnp.int32),
+        sdf=jnp.zeros((num_blocks, BLOCK_VOLUME), jnp.float32),
+        weight=jnp.zeros((num_blocks, BLOCK_VOLUME), jnp.float32),
+        color=jnp.zeros((num_blocks, BLOCK_VOLUME, 3), jnp.float32),
+        free_list=jnp.arange(num_blocks, dtype=jnp.int32),
+        free_count=jnp.asarray(num_blocks, jnp.int32),
+        num_alloc_failures=jnp.asarray(0, jnp.int32),
+    )
+
+
+def pack_block_coords(coords):
+    """int32 block coords [..., 3] -> packed int32 key (30 bits).
+
+    Out-of-range coords map to EMPTY_KEY (treated as unallocatable), the
+    analog of the reference's implicit world-extent limit.
+    """
+    c = coords + GRID_HALF
+    in_range = jnp.all((c >= 0) & (c < GRID_DIM), axis=-1)
+    packed = (c[..., 2] << (2 * GRID_BITS)) | (c[..., 1] << GRID_BITS) | c[..., 0]
+    return jnp.where(in_range, packed, EMPTY_KEY)
+
+
+def unpack_key(key):
+    """Packed key -> int32 block coords [..., 3] (EMPTY yields garbage)."""
+    x = (key & (GRID_DIM - 1)) - GRID_HALF
+    y = ((key >> GRID_BITS) & (GRID_DIM - 1)) - GRID_HALF
+    z = ((key >> (2 * GRID_BITS)) & (GRID_DIM - 1)) - GRID_HALF
+    return jnp.stack([x, y, z], -1)
+
+
+def world_to_voxel(pts, voxel_size: float):
+    """World-space points [..., 3] -> fractional voxel coords."""
+    return pts / voxel_size
+
+
+def voxel_to_block(voxel_coords_int):
+    """Integer voxel coords -> (block coords, local voxel index)."""
+    block = jnp.floor_divide(voxel_coords_int, BLOCK_SIZE)
+    local = voxel_coords_int - block * BLOCK_SIZE
+    lin = (local[..., 2] * BLOCK_SIZE + local[..., 1]) * BLOCK_SIZE + local[..., 0]
+    return block, lin
+
+
+def block_to_world(block_coords, voxel_size: float):
+    """Block coords -> world position of block corner (voxel [0,0,0] corner)."""
+    return block_coords.astype(jnp.float32) * (BLOCK_SIZE * voxel_size)
+
+
+def lookup_packed(table: VoxelBlockTable, packed_keys):
+    """packed keys [...] -> voxel slots [...], -1 where absent."""
+    pos = jnp.searchsorted(table.keys, packed_keys)
+    pos = jnp.clip(pos, 0, table.capacity - 1)
+    found = (table.keys[pos] == packed_keys) & (packed_keys != EMPTY_KEY)
+    return jnp.where(found, table.slots[pos], -1)
+
+
+def lookup_blocks(table: VoxelBlockTable, block_coords):
+    return lookup_packed(table, pack_block_coords(block_coords))
+
+
+def _unique_sorted_mask(sorted_keys):
+    """Mask of first occurrences in a sorted key array (EMPTY excluded)."""
+    prev = jnp.concatenate([jnp.full((1,), -1, jnp.int32), sorted_keys[:-1]])
+    return (sorted_keys != prev) & (sorted_keys != EMPTY_KEY)
+
+
+def allocate(table: VoxelBlockTable, candidate_coords, valid_mask) -> VoxelBlockTable:
+    """Insert candidate blocks (dedup, skip existing), clearing new voxel data.
+
+    Args:
+      candidate_coords: int32 [M, 3] candidate block coords (may repeat).
+      valid_mask: bool [M].
+
+    The whole operation is a fixed-shape jittable program: sort-unique the
+    candidates, filter out already-present keys, pop free slots, concat +
+    re-sort the key table. Overflow (free list exhausted or capacity full)
+    is counted in ``num_alloc_failures`` instead of UB — the reference also
+    silently drops on heap exhaustion.
+    """
+    packed = jnp.where(valid_mask, pack_block_coords(candidate_coords), EMPTY_KEY)
+    packed = jnp.sort(packed)
+    uniq = _unique_sorted_mask(packed)
+    # skip blocks already in the table
+    existing = lookup_packed(table, packed) >= 0
+    is_new = uniq & ~existing
+    # rank of each new block among new blocks
+    rank = jnp.cumsum(is_new.astype(jnp.int32)) - 1
+    num_new_req = jnp.sum(is_new.astype(jnp.int32))
+    num_new = jnp.minimum(num_new_req, table.free_count)
+    can_alloc = is_new & (rank < num_new)
+    # pop from the top of the free-list stack
+    take_pos = table.free_count - 1 - rank
+    new_slot = jnp.where(
+        can_alloc, table.free_list[jnp.clip(take_pos, 0, table.num_blocks - 1)], -1
+    )
+    # clear voxel payload of newly allocated slots (scatter; drop idx<0)
+    clear_idx = jnp.where(can_alloc, new_slot, table.num_blocks)
+    sdf = table.sdf.at[clear_idx].set(0.0, mode="drop")
+    weight = table.weight.at[clear_idx].set(0.0, mode="drop")
+    color = table.color.at[clear_idx].set(0.0, mode="drop")
+    # merge: concat and re-sort; EMPTY keys sort to the tail and are truncated
+    new_keys = jnp.where(can_alloc, packed, EMPTY_KEY)
+    all_keys = jnp.concatenate([table.keys, new_keys])
+    all_slots = jnp.concatenate([table.slots, new_slot])
+    order = jnp.argsort(all_keys)
+    all_keys = all_keys[order][: table.capacity]
+    all_slots = all_slots[order][: table.capacity]
+    # capacity overflow check: a real key beyond capacity would be dropped
+    dropped = jnp.sum((jnp.sort(jnp.concatenate([table.keys, new_keys]))[table.capacity:] != EMPTY_KEY).astype(jnp.int32))
+    return table._replace(
+        keys=all_keys,
+        slots=all_slots,
+        sdf=sdf,
+        weight=weight,
+        color=color,
+        free_count=table.free_count - num_new,
+        num_alloc_failures=table.num_alloc_failures
+        + (num_new_req - num_new)
+        + dropped,
+    )
+
+
+def free_blocks(table: VoxelBlockTable, free_mask) -> VoxelBlockTable:
+    """Free all keys where ``free_mask`` [capacity] is True.
+
+    Marks keys EMPTY, pushes their slots back onto the free list, re-sorts.
+    Used by garbage collection (reference ``garbageCollectFreeKernel``).
+    """
+    free_mask = free_mask & (table.keys != EMPTY_KEY)
+    rank = jnp.cumsum(free_mask.astype(jnp.int32)) - 1
+    num_free = jnp.sum(free_mask.astype(jnp.int32))
+    push_pos = table.free_count + rank
+    slot_to_push = jnp.where(free_mask, table.slots, -1)
+    free_list = table.free_list.at[
+        jnp.where(free_mask, push_pos, table.num_blocks)
+    ].set(slot_to_push, mode="drop")
+    keys = jnp.where(free_mask, EMPTY_KEY, table.keys)
+    slots = jnp.where(free_mask, -1, table.slots)
+    order = jnp.argsort(keys)
+    return table._replace(
+        keys=keys[order],
+        slots=slots[order],
+        free_list=free_list,
+        free_count=table.free_count + num_free,
+    )
+
+
+def garbage_collect(table: VoxelBlockTable, weight_thresh: float = 0.0) -> VoxelBlockTable:
+    """Free blocks whose max voxel weight <= thresh.
+
+    Mirrors ``garbageCollectIdentifyKernel`` (CUDASceneRepHashSDF.cu:584-631),
+    which frees blocks with max weight 0 (de-integrated to emptiness).
+    """
+    slot = jnp.clip(table.slots, 0, table.num_blocks - 1)
+    maxw = jnp.max(table.weight[slot], axis=-1)
+    mask = (table.keys != EMPTY_KEY) & (maxw <= weight_thresh)
+    return free_blocks(table, mask)
+
+
+def starve(table: VoxelBlockTable, amount: float = 1.0) -> VoxelBlockTable:
+    """Decay all voxel weights (reference ``starveVoxelsKernel``)."""
+    w = jnp.maximum(table.weight - amount, 0.0)
+    scale = jnp.where(table.weight > 0, w / jnp.maximum(table.weight, 1e-12), 0.0)
+    return table._replace(weight=w, color=table.color * scale[..., None])
+
+
+def num_occupied(table: VoxelBlockTable):
+    return jnp.sum((table.keys != EMPTY_KEY).astype(jnp.int32))
+
+
+def check_invariants(table: VoxelBlockTable) -> dict:
+    """Host-side structural validation, mirroring the reference's
+    ``debugHash()`` (CUDASceneRepHashSDF.h:179-314): sortedness, key
+    uniqueness, slot uniqueness, free-list/occupancy accounting.
+    Returns a dict of violation counts (all zero = healthy).
+    """
+    import numpy as np
+
+    keys = np.asarray(table.keys)
+    slots = np.asarray(table.slots)
+    occ = keys != int(EMPTY_KEY)
+    n_occ = int(occ.sum())
+    errs = {}
+    errs["unsorted"] = int((np.diff(keys.astype(np.int64)) < 0).sum())
+    occupied_keys = keys[occ]
+    errs["duplicate_keys"] = int(n_occ - len(np.unique(occupied_keys)))
+    occupied_slots = slots[occ]
+    errs["duplicate_slots"] = int(n_occ - len(np.unique(occupied_slots)))
+    errs["bad_slot_range"] = int(
+        ((occupied_slots < 0) | (occupied_slots >= table.num_blocks)).sum()
+    )
+    free_count = int(table.free_count)
+    errs["accounting"] = int(free_count + n_occ != table.num_blocks)
+    fl = np.asarray(table.free_list)[:free_count]
+    # a slot must not be both free and occupied
+    errs["free_occupied_overlap"] = int(len(np.intersect1d(fl, occupied_slots)))
+    errs["duplicate_free_slots"] = int(free_count - len(np.unique(fl)))
+    return errs
