@@ -20,8 +20,8 @@ TPU design notes:
 
 from __future__ import annotations
 
+from dataclasses import dataclass
 from functools import partial
-from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -42,7 +42,10 @@ from bundlefusion_tpu.tsdf.table import (
 )
 
 
-class TsdfParams(NamedTuple):
+@dataclass(frozen=True)
+class TsdfParams:
+    """Static (hashable, non-pytree) TSDF parameters for jit."""
+
     voxel_size: float = 0.01
     truncation: float = 0.06
     truncation_scale: float = 0.02     # extra truncation per meter of depth
@@ -84,8 +87,8 @@ def candidate_blocks(
     """
     d = depth[::stride, ::stride]
     H, W = d.shape
-    v = (jnp.arange(H, dtype=jnp.float32) * stride)[:, None]
-    u = (jnp.arange(W, dtype=jnp.float32) * stride)[None, :]
+    v = jnp.broadcast_to((jnp.arange(H, dtype=jnp.float32) * stride)[:, None], (H, W))
+    u = jnp.broadcast_to((jnp.arange(W, dtype=jnp.float32) * stride)[None, :], (H, W))
     valid = jnp.isfinite(d) & (d >= params.depth_min) & (
         d <= jnp.minimum(params.depth_max, params.max_integration_distance)
     )
@@ -241,7 +244,7 @@ def integrate_frame(
     # store weighted sums: sdf stored as mean, so convert via weights
     sum_sdf = old_sdf * old_w + jnp.where(upd, sdf_cl, 0.0) * applied_w
     new_sdf = jnp.where(new_w > 0, sum_sdf / jnp.maximum(new_w, 1e-12), 0.0)
-    new_c = old_c + jnp.where(upd, rgb, 0.0)[...] * applied_w[..., None]
+    new_c = old_c + jnp.where(upd[..., None], rgb, 0.0) * applied_w[..., None]
     new_c = jnp.maximum(new_c, 0.0)
 
     scatter_slots = jnp.where(valid_block, slots, table.num_blocks)

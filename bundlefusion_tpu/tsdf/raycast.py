@@ -18,8 +18,8 @@ min/max buffers as an XLA-friendly acceleration structure.
 
 from __future__ import annotations
 
+from dataclasses import dataclass
 from functools import partial
-from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -35,7 +35,8 @@ from bundlefusion_tpu.tsdf.table import (
 from bundlefusion_tpu.tsdf.integrate import TsdfParams
 
 
-class RaycastParams(NamedTuple):
+@dataclass(frozen=True)
+class RaycastParams:
     ray_increment_factor: float = 0.8     # step = factor * truncation
     depth_min: float = 0.1
     depth_max: float = 4.0
@@ -150,16 +151,18 @@ def raycast(
     cam_pos = cam_to_world[:3, 3]
     grid, origin = build_local_grid(table, cam_pos, voxel_size, grid_dim)
 
-    v = jnp.arange(H, dtype=jnp.float32)[:, None]
-    u = jnp.arange(W, dtype=jnp.float32)[None, :]
+    v = jnp.broadcast_to(jnp.arange(H, dtype=jnp.float32)[:, None], (H, W))
+    u = jnp.broadcast_to(jnp.arange(W, dtype=jnp.float32)[None, :], (H, W))
     dirs_cam = jnp.stack(
-        [(u - intr.cx) / intr.fx, (v - intr.cy) / intr.fy, jnp.ones_like(u + v)], -1
+        [(u - intr.cx) / intr.fx, (v - intr.cy) / intr.fy, jnp.ones_like(u)], -1
     )
     ray_norm = jnp.linalg.norm(dirs_cam, axis=-1)
     dirs_world = dirs_cam @ cam_to_world[:3, :3].T
 
+    import math
+
     step = params.ray_increment_factor * tsdf_params.truncation
-    n_steps = int(jnp.ceil((params.depth_max - params.depth_min) / step)) + 1
+    n_steps = int(math.ceil((params.depth_max - params.depth_min) / step)) + 1
 
     def body(i, carry):
         t_hit, prev_sdf, prev_t, prev_ok, done = carry

@@ -77,3 +77,35 @@ def test_kabsch_vmap(rng):
     assert T_est.shape == (4, 4, 4)
     for i in range(4):
         np.testing.assert_allclose(np.asarray(T_est[i]), Ts[i], atol=1e-4)
+
+
+def test_kabsch_fast_matches_svd(rng):
+    from bundlefusion_tpu.geometry.kabsch import kabsch_fast
+
+    for _ in range(5):
+        T = make_rigid(rng)
+        src = rng.normal(size=(40, 3)).astype(np.float32)
+        dst = src @ T[:3, :3].T + T[:3, 3] + rng.normal(size=(40, 3)).astype(np.float32) * 0.01
+        w = rng.uniform(0.1, 1.0, size=40).astype(np.float32)
+        w[30:] = 0.0
+        T_svd, r_svd = kabsch(jnp.asarray(src), jnp.asarray(dst), jnp.asarray(w))
+        T_fast, r_fast = kabsch_fast(jnp.asarray(src), jnp.asarray(dst), jnp.asarray(w))
+        np.testing.assert_allclose(np.asarray(T_fast), np.asarray(T_svd), atol=2e-3)
+        assert abs(float(r_fast) - float(r_svd)) < 1e-4
+
+
+def test_sym3_eigenvalues(rng):
+    from bundlefusion_tpu.geometry.kabsch import sym3_eigenvalues
+
+    for _ in range(10):
+        A = rng.normal(size=(3, 3))
+        A = (A + A.T).astype(np.float32)
+        ev = np.asarray(sym3_eigenvalues(jnp.asarray(A)))
+        ev_ref = np.linalg.eigvalsh(A)
+        np.testing.assert_allclose(ev, ev_ref, atol=1e-4)
+    # batched
+    As = rng.normal(size=(16, 3, 3))
+    As = (As + As.transpose(0, 2, 1)).astype(np.float32)
+    evs = np.asarray(sym3_eigenvalues(jnp.asarray(As)))
+    for i in range(16):
+        np.testing.assert_allclose(evs[i], np.linalg.eigvalsh(As[i]), atol=1e-4)

@@ -1,0 +1,147 @@
+import jax.numpy as jnp
+import numpy as np
+
+from bundlefusion_tpu.geometry import matrix_to_pose, pose_to_matrix
+from bundlefusion_tpu.solver.gn_pcg import (
+    SolverParams,
+    cost,
+    count_high_residuals,
+    max_residual,
+    solve_sparse,
+)
+from bundlefusion_tpu.solver.residuals import (
+    append_corrs,
+    corr_counts_per_frame,
+    create_corr_store,
+    invalidate_frame,
+    invalidate_image_pair,
+)
+
+
+def build_pose_graph(rng, n_frames=6, pts_per_pair=24, noise=0.0):
+    """Synthetic trajectory + pairwise 3D-3D corrs from shared world points."""
+    # ground-truth camera-to-world poses along a smooth path
+    gt = []
+    for i in range(n_frames):
+        w = np.array([0.03 * i, 0.05 * np.sin(i), 0.02 * i])
+        t = np.array([0.1 * i, 0.02 * i * i, 0.05 * np.sin(i)])
+        gt.append(np.asarray(pose_to_matrix(jnp.asarray(np.concatenate([w, t]), jnp.float32))))
+    gt = np.stack(gt)
+
+    store = create_corr_store(2048)
+    for i in range(n_frames):
+        for j in range(i + 1, min(i + 3, n_frames)):
+            world = rng.uniform(-1, 1, size=(pts_per_pair, 3)).astype(np.float32) + [0, 0, 2]
+            # p_i = inv(T_i) @ world
+            Ti_inv = np.linalg.inv(gt[i])
+            Tj_inv = np.linalg.inv(gt[j])
+            p_i = world @ Ti_inv[:3, :3].T + Ti_inv[:3, 3]
+            p_j = world @ Tj_inv[:3, :3].T + Tj_inv[:3, 3]
+            if noise > 0:
+                p_i = p_i + rng.normal(size=p_i.shape).astype(np.float32) * noise
+                p_j = p_j + rng.normal(size=p_j.shape).astype(np.float32) * noise
+            store = append_corrs(
+                store,
+                jnp.full((pts_per_pair,), j, jnp.int32),
+                jnp.full((pts_per_pair,), i, jnp.int32),
+                jnp.asarray(p_j),
+                jnp.asarray(p_i),
+                jnp.ones(pts_per_pair, bool),
+            )
+    return gt, store
+
+
+def test_solver_recovers_perturbed_poses(rng):
+    gt, store = build_pose_graph(rng)
+    n = len(gt)
+    gt_poses = np.stack([np.asarray(matrix_to_pose(jnp.asarray(g))) for g in gt])
+    init = gt_poses.copy()
+    init[1:] += rng.normal(size=(n - 1, 6)).astype(np.float32) * 0.05
+    params = SolverParams(num_gn=5, num_pcg=50)
+    out, stats = solve_sparse(
+        jnp.asarray(init, jnp.float32), jnp.ones(n, bool), store, params
+    )
+    assert float(stats.final_cost) < 1e-6, float(stats.final_cost)
+    assert float(stats.final_cost) < float(stats.initial_cost) * 1e-3
+    # poses must match GT (frame 0 anchored so no gauge ambiguity)
+    out_np = np.asarray(out)
+    for i in range(n):
+        T_est = np.asarray(pose_to_matrix(jnp.asarray(out_np[i])))
+        np.testing.assert_allclose(T_est, gt[i], atol=5e-3)
+
+
+def test_solver_noise_floor(rng):
+    gt, store = build_pose_graph(rng, noise=0.005)
+    n = len(gt)
+    gt_poses = np.stack([np.asarray(matrix_to_pose(jnp.asarray(g))) for g in gt])
+    init = gt_poses.copy()
+    init[1:] += rng.normal(size=(n - 1, 6)).astype(np.float32) * 0.03
+    out, stats = solve_sparse(
+        jnp.asarray(init, jnp.float32), jnp.ones(n, bool), store,
+        SolverParams(num_gn=4, num_pcg=60),
+    )
+    # cost should approach the noise floor: C * 3 * sigma^2-ish
+    c = float(stats.final_cost)
+    n_corr = int(store.count)
+    assert c / n_corr < 3 * (2 * 0.005**2) * 4
+
+
+def test_solver_respects_fixed_frame0(rng):
+    gt, store = build_pose_graph(rng)
+    n = len(gt)
+    gt_poses = np.stack([np.asarray(matrix_to_pose(jnp.asarray(g))) for g in gt])
+    init = gt_poses.copy()
+    init[1:] += 0.05
+    out, _ = solve_sparse(jnp.asarray(init, jnp.float32), jnp.ones(n, bool), store)
+    np.testing.assert_array_equal(np.asarray(out)[0], init[0])
+
+
+def test_solver_frozen_invalid_pose(rng):
+    gt, store = build_pose_graph(rng)
+    n = len(gt)
+    gt_poses = np.stack([np.asarray(matrixto := matrix_to_pose(jnp.asarray(g))) for g in gt])
+    init = gt_poses.copy()
+    init[1:] += 0.02
+    valid = np.ones(n, bool)
+    valid[3] = False
+    store2 = invalidate_frame(store, 3)
+    out, _ = solve_sparse(jnp.asarray(init, jnp.float32), jnp.asarray(valid), store2)
+    np.testing.assert_array_equal(np.asarray(out)[3], init[3])
+
+
+def test_max_residual_and_invalidation(rng):
+    gt, store = build_pose_graph(rng)
+    n = len(gt)
+    gt_poses = jnp.asarray(
+        np.stack([np.asarray(matrix_to_pose(jnp.asarray(g))) for g in gt]), jnp.float32
+    )
+    # corrupt corrs of pair (0, 1): shift points
+    pi = np.asarray(store.p_i).copy()
+    mask = (np.asarray(store.img_i) == 1) & (np.asarray(store.img_j) == 0)
+    pi[mask] += 0.5
+    store2 = store._replace(p_i=jnp.asarray(pi))
+    mr, idx = max_residual(gt_poses, store2)
+    assert float(mr) > 0.2
+    assert mask[int(idx)]
+    nh, nv = count_high_residuals(gt_poses, store2, 0.02)
+    assert int(nh) == mask.sum()
+    # invalidate that pair -> residual drops
+    store3 = invalidate_image_pair(store2, 0, 1)
+    mr2, _ = max_residual(gt_poses, store3)
+    assert float(mr2) < 0.01
+    counts = np.asarray(corr_counts_per_frame(store3, n))
+    assert counts[0] > 0 and counts[1] > 0  # still in other pairs
+
+
+def test_append_overflow(rng):
+    store = create_corr_store(16)
+    store = append_corrs(
+        store,
+        jnp.ones(32, jnp.int32),
+        jnp.zeros(32, jnp.int32),
+        jnp.zeros((32, 3)),
+        jnp.zeros((32, 3)),
+        jnp.ones(32, bool),
+    )
+    assert int(store.count) == 16
+    assert int(store.valid_mask().sum()) == 16
