@@ -61,7 +61,8 @@ from bundlefusion_tpu.pipeline.frontend import (
     match_and_filter,
 )
 from bundlefusion_tpu.pipeline.trajectory import TrajectoryManager
-from bundlefusion_tpu.solver.gn_pcg import SolverParams, solve_sparse
+from bundlefusion_tpu.solver.dense_term import DenseTermParams
+from bundlefusion_tpu.solver.gn_pcg import SolverParams, solve_bundle, solve_sparse
 from bundlefusion_tpu.solver.residuals import (
     create_corr_store,
     invalidate_image_pair,
@@ -164,6 +165,18 @@ class BundleFusion:
             pcg_early_out=bundling.pcg_early_out,
             gn_early_out_delta=bundling.gn_early_out_delta,
         )
+        self.dense_term_params = DenseTermParams(
+            dist_thresh=bundling.dense_dist_thresh,
+            normal_thresh=bundling.dense_normal_thresh,
+            color_thresh=bundling.dense_color_thresh,
+            color_gradient_min=bundling.dense_color_gradient_min,
+            depth_min=bundling.dense_depth_min,
+            depth_max=bundling.dense_depth_max,
+            overlap_subsample=bundling.dense_overlap_check_subsample_factor,
+            overlap_min_hits=bundling.dense_overlap_min_hits,
+            min_corr_per_pair=bundling.min_dense_corr_for_pair,
+            max_pairs=64,
+        )
 
         # ---- mutable state ----
         K_local = self.sift_cfg.target_keys
@@ -186,6 +199,11 @@ class BundleFusion:
         self.submap_base_world = np.eye(4, dtype=np.float32)
 
         self.traj_manager = TrajectoryManager(app.top_n_active, app.min_pose_dist_sqrt)
+        # relocalization retry list (reference SIFTImageManager retry list +
+        # Bundler::tryRevalidation, Bundler.cpp:306-352)
+        self.retry_list: List[int] = []
+        self.retry_attempts: dict = {}
+        self.max_retry_attempts = 10
         # host copies of integration-res frames for re-integration
         self.stored_depth: List[np.ndarray] = []
         self.stored_color: List[np.ndarray] = []
@@ -316,11 +334,29 @@ class BundleFusion:
             np.stack([np.asarray(matrix_to_pose(jnp.asarray(t))) for t in self.local_rel])
         )
         lv = self.local_valid.copy()
-        poses, stats = solve_sparse(
-            init, jnp.asarray(lv), self.local_corrs, self.local_solver
-        )
+        if self.bundling.use_local_dense:
+            # sparse + dense depth term, dense weight ramp iter+1 (SBA.cpp:28-38)
+            poses, stats = solve_bundle(
+                init,
+                jnp.asarray(lv),
+                self.local_corrs,
+                self.local_cache,
+                self.intr_cache,
+                self.local_solver,
+                self.dense_term_params,
+            )
+        else:
+            poses, stats = solve_sparse(
+                init, jnp.asarray(lv), self.local_corrs, self.local_solver
+            )
         local_world = np.asarray(jax.vmap(pose_to_matrix)(poses))
         submap_ok = bool(lv[0]) and lv.sum() >= 2
+        if submap_ok and self.bundling.use_local_verify:
+            submap_ok = self._verify_local(local_world, lv)
+            if not submap_ok:
+                # solved submap fails dense verification -> invalidate it
+                # (VerifyTrajectoryCU path, Bundler.cpp:259-273)
+                lv[:] = False
         self.local_trajectories.append(local_world.copy())
         self.local_frame_valid.append(lv)
 
@@ -369,9 +405,13 @@ class BundleFusion:
                     jnp.arange(self.G, dtype=jnp.int32),
                 )
             else:
-                # keyframe not matched: tracking lost for this submap
+                # keyframe not matched: tracking lost for this submap ->
+                # queue for relocalization retries
                 self.keyframe_valid[g] = False
                 self.lost_count += 1
+                self.retry_list.append(g)
+
+            self._try_revalidation()
 
             kv = self.keyframe_valid.copy()
             kv[g + 1 :] = False
@@ -420,6 +460,85 @@ class BundleFusion:
         self.local_rel[0] = np.eye(4, dtype=np.float32)
         self.submap_base_world = overlap_world.astype(np.float32)
         self.num_keyframes += 1
+
+    # ------------------------------------------------------------------
+    def _verify_local(self, local_world: np.ndarray, lv: np.ndarray) -> bool:
+        """Dense-verify the solved submap trajectory over adjacent valid
+        frame pairs (``VerifyTrajectoryCU``/``useVerification`` with the
+        s_verifyOpt* thresholds). Returns False if the aggregate projective
+        error is too high or overlap too low."""
+        from bundlefusion_tpu.ops.filters import dense_verify_pair
+
+        vp = dataclasses.replace(
+            self.frontend_local.dense,
+            err_thresh=self.bundling.verify_opt_err_thresh,
+            corr_thresh=self.bundling.verify_opt_corr_thresh,
+        )
+        n_checked = 0
+        n_failed = 0
+        for r in range(self.S - 1):
+            if not (lv[r] and lv[r + 1]):
+                continue
+            T_rel = np.linalg.inv(local_world[r + 1]) @ local_world[r]
+            keep, err, corr = dense_verify_pair(
+                jnp.asarray(T_rel.astype(np.float32)),
+                self.local_cache.depth[r],
+                self.local_cache.campos[r],
+                self.local_cache.normal[r],
+                self.local_cache.depth[r + 1],
+                self.local_cache.campos[r + 1],
+                self.local_cache.normal[r + 1],
+                self.intr_cache,
+                vp,
+            )
+            n_checked += 1
+            if not bool(keep):
+                n_failed += 1
+        if n_checked == 0:
+            return True
+        return n_failed <= n_checked // 3
+
+    # ------------------------------------------------------------------
+    def _try_revalidation(self):
+        """One relocalization attempt per submap: re-match the oldest lost
+        keyframe against all valid keyframes (``tryRevalidation``,
+        Bundler.cpp:306-352). Success restores the keyframe and appends its
+        correspondences; failure re-queues up to ``max_retry_attempts``."""
+        if not self.retry_list:
+            return
+        k = self.retry_list.pop(0)
+        attempts = self.retry_attempts.get(k, 0)
+        if attempts >= self.max_retry_attempts:
+            return
+        self.retry_attempts[k] = attempts + 1
+        # temporarily mark the keyframe's stored features active for matching
+        self.global_keys = self.global_keys._replace(
+            frame_valid=self.global_keys.frame_valid.at[k].set(True)
+        )
+        mf = match_and_filter(
+            jnp.asarray(k),
+            self.global_keys,
+            self.global_cache,
+            self.intr_sift,
+            self.intr_cache,
+            self.frontend_global,
+        )
+        pair_valid = np.asarray(mf["pair_valid"])
+        # only pairs against currently-valid keyframes count
+        pair_valid = pair_valid & self.keyframe_valid[: self.G]
+        if pair_valid.any():
+            self.global_corrs = add_to_residuals(
+                self.global_corrs,
+                mf,
+                jnp.asarray(k, jnp.int32),
+                jnp.arange(self.G, dtype=jnp.int32),
+            )
+            self.keyframe_valid[k] = True
+        else:
+            self.global_keys = self.global_keys._replace(
+                frame_valid=self.global_keys.frame_valid.at[k].set(False)
+            )
+            self.retry_list.append(k)
 
     # ------------------------------------------------------------------
     def _update_complete_trajectory(self):
@@ -524,16 +643,32 @@ class BundleFusion:
             if extra_solves is not None
             else max(self.app.num_solve_frames_before_exit // 10, 1)
         )
-        for _ in range(n_extra):
+        for it in range(n_extra):
             if self.num_keyframes > 1:
                 kv = self.keyframe_valid.copy()
                 kv[self.num_keyframes :] = False
-                self.keyframe_poses, _ = solve_sparse(
-                    self.keyframe_poses,
-                    jnp.asarray(kv),
-                    self.global_corrs,
-                    self.global_solver,
-                )
+                if self.bundling.use_global_dense_at_end and it == n_extra - 1:
+                    # final pass with dense depth weight 15
+                    # (USE_GLOBAL_DENSE_AT_END, OnlineBundler.cpp:177-189)
+                    self.keyframe_poses, _ = solve_bundle(
+                        self.keyframe_poses,
+                        jnp.asarray(kv),
+                        self.global_corrs,
+                        self.global_cache,
+                        self.intr_cache,
+                        self.global_solver,
+                        self.dense_term_params,
+                        dense_weights=jnp.full(
+                            (self.global_solver.num_gn,), 15.0, jnp.float32
+                        ),
+                    )
+                else:
+                    self.keyframe_poses, _ = solve_sparse(
+                        self.keyframe_poses,
+                        jnp.asarray(kv),
+                        self.global_corrs,
+                        self.global_solver,
+                    )
             self._update_complete_trajectory()
             for _ in range(10):
                 before = self.traj_manager.generate_update_lists()

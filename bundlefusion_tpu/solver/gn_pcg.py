@@ -219,3 +219,136 @@ def solve_sparse(
         max_residual_corr=mr_idx,
     )
     return poses_out, stats
+
+
+@partial(jax.jit, static_argnames=("params", "intr", "dense_params", "w_color"))
+def solve_bundle(
+    poses,
+    pose_valid,
+    corrs: CorrStore,
+    cache,
+    intr,
+    params: SolverParams = SolverParams(),
+    dense_params=None,
+    dense_weights=None,
+    w_color: float = 0.0,
+):
+    """Sparse + dense GN/PCG (the reference's full ``solveBundlingStub``:
+    per GN iteration rebuild the dense pair system from current poses, then
+    PCG on A = J_s^T J_s + w_d * J_d^T J_d with block-Jacobi preconditioning).
+
+    Args:
+      cache: DenseCache over the same frame indexing as ``corrs``/poses.
+      dense_weights: [num_gn] per-iteration dense-depth weights (reference
+        schedules: local = iter+1, global-at-end = 15; ``SBA.cpp:28-38``).
+      w_color: photometric weight (reference default 0).
+
+    Returns (poses, SolveStats).
+    """
+    from bundlefusion_tpu.solver.dense_term import (
+        DenseTermParams,
+        build_dense_system,
+        dense_matvec,
+        dense_precond_blocks,
+        dense_rhs,
+        find_overlapping_pairs,
+    )
+
+    dp = dense_params or DenseTermParams()
+    N = poses.shape[0]
+    if dense_weights is None:
+        dense_weights = jnp.arange(1, params.num_gn + 1, dtype=jnp.float32)
+    dense_weights = jnp.asarray(dense_weights, jnp.float32)
+
+    free = pose_valid & (jnp.arange(N) != 0)
+    free_f = free.astype(jnp.float32)[:, None]
+    v = corrs.valid_mask()
+    vf = v.astype(jnp.float32)[:, None]
+    ii = jnp.where(v, corrs.img_i, N)
+    jj = jnp.where(v, corrs.img_j, N)
+    c0 = cost(poses, corrs)
+
+    def gn_iter(it, carry):
+        poses, done = carry
+        w_dense = dense_weights[jnp.minimum(it, dense_weights.shape[0] - 1)]
+
+        pi = _gather_poses(poses, corrs.img_i)
+        pj = _gather_poses(poses, corrs.img_j)
+        r = _res_batch(pi, pj, corrs.p_i, corrs.p_j) * vf
+        Ji, Jj = _jac_batch(pi, pj, corrs.p_i, corrs.p_j)
+        Ji = Ji * vf[..., None]
+        Jj = Jj * vf[..., None]
+
+        pairs, pair_mask = find_overlapping_pairs(poses, pose_valid, cache, intr, dp)
+        dsys = build_dense_system(poses, pairs, pair_mask, cache, intr, dp, 1.0, w_color)
+
+        def JT(y):
+            gi = jnp.einsum("cij,ci->cj", Ji, y)
+            gj = jnp.einsum("cij,ci->cj", Jj, y)
+            out = jnp.zeros((N + 1, 6), jnp.float32)
+            out = out.at[ii].add(gi, mode="drop")
+            out = out.at[jj].add(gj, mode="drop")
+            return out[:N] * free_f
+
+        def J(x):
+            xi = _gather_poses(x * free_f, corrs.img_i)
+            xj = _gather_poses(x * free_f, corrs.img_j)
+            return jnp.einsum("cij,cj->ci", Ji, xi) + jnp.einsum("cij,cj->ci", Jj, xj)
+
+        b = -JT(r) + w_dense * dense_rhs(dsys, N) * free_f
+
+        Pi = jnp.einsum("cik,cil->ckl", Ji, Ji)
+        Pj = jnp.einsum("cik,cil->ckl", Jj, Jj)
+        P = jnp.zeros((N + 1, 6, 6), jnp.float32)
+        P = P.at[ii].add(Pi, mode="drop")
+        P = P.at[jj].add(Pj, mode="drop")
+        P = P[:N] + w_dense * dense_precond_blocks(dsys, N) + jnp.eye(6) * 1e-6
+        P_inv = jnp.linalg.inv(P)
+
+        def apply_P(x):
+            return jnp.einsum("nij,nj->ni", P_inv, x) * free_f
+
+        def A(x):
+            return JT(J(x)) + w_dense * dense_matvec(dsys, x * free_f, N) * free_f
+
+        x0 = jnp.zeros_like(poses)
+        r0 = b
+        z0 = apply_P(r0)
+        rz0 = jnp.sum(r0 * z0)
+
+        def pcg_body(state):
+            k, x, rr, z, p_, rz = state
+            Ap = A(p_)
+            pAp = jnp.sum(p_ * Ap)
+            alpha = jnp.where(jnp.abs(pAp) > 1e-20, rz / pAp, 0.0)
+            x = x + alpha * p_
+            rr = rr - alpha * Ap
+            z = apply_P(rr)
+            rz_new = jnp.sum(rr * z)
+            beta = jnp.where(jnp.abs(rz) > 1e-20, rz_new / rz, 0.0)
+            return k + 1, x, rr, z, z + beta * p_, rz_new
+
+        def pcg_cond(state):
+            k, x, rr, z, p_, rz = state
+            return (k < params.num_pcg) & (jnp.abs(rz) > params.pcg_early_out)
+
+        _, delta, *_ = jax.lax.while_loop(
+            pcg_cond, pcg_body, (jnp.asarray(0), x0, r0, z0, z0, rz0)
+        )
+        max_delta = jnp.max(jnp.abs(delta))
+        poses = jnp.where(done, poses, poses + delta * free_f)
+        done = done | (max_delta < params.gn_early_out_delta)
+        return poses, done
+
+    poses_out, _ = jax.lax.fori_loop(
+        0, params.num_gn, gn_iter, (poses, jnp.asarray(False))
+    )
+    c1 = cost(poses_out, corrs)
+    mr, mr_idx = max_residual(poses_out, corrs)
+    return poses_out, SolveStats(
+        initial_cost=c0,
+        final_cost=c1,
+        num_gn_done=jnp.asarray(params.num_gn),
+        max_residual=mr,
+        max_residual_corr=mr_idx,
+    )

@@ -204,8 +204,8 @@ def _extract_chunk(table: VoxelBlockTable, block_pos_chunk, voxel_size: float, m
 def extract_mesh(
     table: VoxelBlockTable,
     voxel_size: float,
-    chunk_blocks: int = 2048,
-    max_tris_per_chunk: int = 400000,
+    chunk_blocks: int = 256,
+    max_tris_per_chunk: int = 200000,
 ):
     """Extract the full zero-isosurface mesh (host-driven, chunked).
 
