@@ -42,12 +42,14 @@ def main():
         intr = default_intrinsics(640, 480)
         app = AppConfig(
             hash_num_sdf_blocks=131072,
-            hash_key_capacity=262144,
+            hash_key_capacity=131072,
             # in-frustum blocks at 1 cm voxels / 4 m range stay well under
             # this; oversizing directly pads the integrate kernel's work
-            visible_blocks_cap=32768,
+            visible_blocks_cap=8192,
         )
-        bundling = BundlingConfig()
+        # right-size the corr-store capacity for the 64-keyframe run: the
+        # solver's per-iteration work scales with capacity, not live count
+        bundling = BundlingConfig(max_global_corr=16384)
         sift_cfg = SiftConfig(
             target_keys=150, min_scale=bundling.min_key_scale,
             depth_min=app.sensor_depth_min, depth_max=app.sensor_depth_max,

@@ -23,7 +23,9 @@ def resample_nearest(img, new_h: int, new_w: int):
     us = (jnp.arange(new_w) + 0.5) * (W / new_w) - 0.5
     vi = jnp.clip(jnp.round(vs).astype(jnp.int32), 0, H - 1)
     ui = jnp.clip(jnp.round(us).astype(jnp.int32), 0, W - 1)
-    return img[vi[:, None], ui[None, :]]
+    # two axis-wise takes (fast row/col gathers) instead of one general
+    # outer-product gather, which XLA lowers element-by-element on TPU
+    return jnp.take(jnp.take(img, vi, axis=0), ui, axis=1)
 
 
 def resample_bilinear(img, new_h: int, new_w: int):
@@ -40,10 +42,13 @@ def resample_bilinear(img, new_h: int, new_w: int):
     if img.ndim == 3:
         fv = fv[..., None]
         fu = fu[..., None]
-    a = img[v0[:, None], u0[None, :]]
-    b = img[v0[:, None], u1[None, :]]
-    c = img[v1[:, None], u0[None, :]]
-    d = img[v1[:, None], u1[None, :]]
+    # axis-wise takes (see resample_nearest)
+    rows0 = jnp.take(img, v0, axis=0)
+    rows1 = jnp.take(img, v1, axis=0)
+    a = jnp.take(rows0, u0, axis=1)
+    b = jnp.take(rows0, u1, axis=1)
+    c = jnp.take(rows1, u0, axis=1)
+    d = jnp.take(rows1, u1, axis=1)
     return (
         a * (1 - fv) * (1 - fu)
         + b * (1 - fv) * fu

@@ -59,20 +59,28 @@ def _gauss_kernel1d(sigma: float):
     radius = max(1, int(np.ceil(3.0 * sigma)))
     x = np.arange(-radius, radius + 1, dtype=np.float32)
     k = np.exp(-(x * x) / (2.0 * sigma * sigma))
-    return jnp.asarray(k / k.sum())
+    return k / k.sum()  # numpy: taps become compile-time scalars
 
 
 def _sep_conv(img, k):
-    """Separable 2D convolution with reflect-ish (edge clamp) padding."""
+    """Separable 2D blur as shift-and-add with edge-clamp padding.
+
+    A 1-channel ``conv_general_dilated`` is pathological on TPU (XLA pads
+    the channel dim to 128 for the MXU); 2*(2r+1) shifted-scaled adds on the
+    VPU are ~500x cheaper for these small kernels.
+    """
     r = (k.shape[0] - 1) // 2
-    x = img[None, None]  # NCHW
-    kh = k.reshape(1, 1, 1, -1)
-    kv = k.reshape(1, 1, -1, 1)
-    x = jnp.pad(x, ((0, 0), (0, 0), (0, 0), (r, r)), mode="edge")
-    x = jax.lax.conv_general_dilated(x, kh, (1, 1), "VALID")
-    x = jnp.pad(x, ((0, 0), (0, 0), (r, r), (0, 0)), mode="edge")
-    x = jax.lax.conv_general_dilated(x, kv, (1, 1), "VALID")
-    return x[0, 0]
+    kw = [float(k[i]) for i in range(k.shape[0])]
+    H, W = img.shape
+    xp = jnp.pad(img, ((0, 0), (r, r)), mode="edge")
+    acc = kw[0] * xp[:, 0:W]
+    for i in range(1, len(kw)):
+        acc = acc + kw[i] * xp[:, i : i + W]
+    xp = jnp.pad(acc, ((r, r), (0, 0)), mode="edge")
+    acc = kw[0] * xp[0:H, :]
+    for i in range(1, len(kw)):
+        acc = acc + kw[i] * xp[i : i + H, :]
+    return acc
 
 
 def _bilinear(img, x, y):
@@ -182,58 +190,91 @@ _GRID = np.stack(
 _GRID_J = jnp.asarray(_GRID)
 
 
-def _orientation_one(gm, go, x, y, sigma_local):
-    """Dominant gradient orientation from a 36-bin weighted histogram
-    (reference ``ComputeOrientation_Kernel``)."""
-    scale = 1.5 * sigma_local / 4.0  # window radius ~ 3*1.5*sigma over 16 samples
-    off = _GRID_J * scale * 2.0
-    sx = x + off[:, 0]
-    sy = y + off[:, 1]
-    m = _bilinear(gm, sx, sy)
-    o = _bilinear(go, sx, sy)
-    r2 = jnp.sum(off * off, -1)
-    sig_w = 1.5 * sigma_local
+def _bilinear_flat(flat, base, W, H, x, y):
+    """Bilinear sample from a flattened image bank.
+
+    Args:
+      flat: [total] concatenation of all (octave, level) images.
+      base: per-sample flat offset of the image start ([...] int32).
+      W, H: per-sample image dims ([...] int32).
+      x, y: per-sample float coords.
+
+    One pass over keys of all octaves/levels — replaces the reference's
+    per-level kernel launches (and this module's former 12x masked passes).
+    """
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    fx = x - x0
+    fy = y - y0
+    x0i = jnp.clip(x0.astype(jnp.int32), 0, W - 1)
+    y0i = jnp.clip(y0.astype(jnp.int32), 0, H - 1)
+    x1i = jnp.minimum(x0i + 1, W - 1)
+    y1i = jnp.minimum(y0i + 1, H - 1)
+    a = flat[base + y0i * W + x0i]
+    b = flat[base + y0i * W + x1i]
+    c = flat[base + y1i * W + x0i]
+    d = flat[base + y1i * W + x1i]
+    return a * (1 - fx) * (1 - fy) + b * fx * (1 - fy) + c * (1 - fx) * fy + d * fx * fy
+
+
+def _orientations(gm_flat, go_flat, base, W, H, x, y, sigma_local):
+    """Dominant gradient orientations for all keys at once
+    (reference ``ComputeOrientation_Kernel``). All args [K]-shaped except
+    the flat banks; returns [K] angles.
+    """
+    scale = (1.5 * sigma_local / 4.0 * 2.0)[:, None]      # [K, 1]
+    offx = _GRID_J[None, :, 0] * scale                     # [K, 256]
+    offy = _GRID_J[None, :, 1] * scale
+    sx = x[:, None] + offx
+    sy = y[:, None] + offy
+    m = _bilinear_flat(gm_flat, base[:, None], W[:, None], H[:, None], sx, sy)
+    o = _bilinear_flat(go_flat, base[:, None], W[:, None], H[:, None], sx, sy)
+    r2 = offx * offx + offy * offy
+    sig_w = (1.5 * sigma_local)[:, None]
     w = m * jnp.exp(-r2 / (2 * sig_w * sig_w * 4.0))
     bins = jnp.floor(o / (2 * jnp.pi) * 36.0).astype(jnp.int32) % 36
-    hist = jnp.zeros((36,)).at[bins].add(w)
-    # smooth histogram (2 passes of [1,1,1]/3)
-    for _ in range(2):
-        hist = (jnp.roll(hist, 1) + hist + jnp.roll(hist, -1)) / 3.0
-    b = jnp.argmax(hist)
-    # parabolic peak refinement
-    h0 = hist[(b - 1) % 36]
-    h1 = hist[b]
-    h2 = hist[(b + 1) % 36]
+    # scatter-free histogram: one-hot contraction on the MXU
+    hist = jnp.einsum(
+        "ks,ksb->kb", w, jax.nn.one_hot(bins, 36, dtype=jnp.float32)
+    )                                                      # [K, 36]
+    for _ in range(2):  # smooth (2 passes of [1,1,1]/3)
+        hist = (jnp.roll(hist, 1, 1) + hist + jnp.roll(hist, -1, 1)) / 3.0
+    b = jnp.argmax(hist, axis=1)                           # [K]
+    k_idx = jnp.arange(hist.shape[0])
+    h0 = hist[k_idx, (b - 1) % 36]
+    h1 = hist[k_idx, b]
+    h2 = hist[k_idx, (b + 1) % 36]
     denom = h0 - 2 * h1 + h2
     delta = jnp.where(jnp.abs(denom) > 1e-12, 0.5 * (h0 - h2) / denom, 0.0)
-    ang = (b.astype(jnp.float32) + 0.5 + delta) * (2 * jnp.pi / 36.0)
-    return ang
+    return (b.astype(jnp.float32) + 0.5 + delta) * (2 * jnp.pi / 36.0)
 
 
-def _descriptor_one(gm, go, x, y, sigma_local, ang):
-    """4x4x8 SIFT descriptor via 16x16 rotated samples (reference
-    ``ComputeDescriptor_Kernel`` + ``NormalizeDescriptor``)."""
-    cell = 3.0 * sigma_local / 4.0  # descriptor cell = 3*sigma, 4 samples/cell
-    ca = jnp.cos(ang)
-    sa = jnp.sin(ang)
-    gx = _GRID_J[:, 0] * cell
-    gy = _GRID_J[:, 1] * cell
-    sx = x + ca * gx - sa * gy
-    sy = y + sa * gx + ca * gy
-    m = _bilinear(gm, sx, sy)
-    o = _bilinear(go, sx, sy) - ang
-    w = m * jnp.exp(-(_GRID_J[:, 0] ** 2 + _GRID_J[:, 1] ** 2) / (2 * 8.0 * 8.0))
-    # trilinear soft-binning into (4, 4, 8)
-    bx = (_GRID_J[:, 0] + 7.5) / 4.0  # [0, 3.75] -> bin coords [0..4)
-    by = (_GRID_J[:, 1] + 7.5) / 4.0
+def _descriptors(gm_flat, go_flat, base, W, H, x, y, sigma_local, ang):
+    """4x4x8 SIFT descriptors for all keys at once (reference
+    ``ComputeDescriptor_Kernel`` + ``NormalizeDescriptor``). Returns [K, 128].
+    """
+    cell = (3.0 * sigma_local / 4.0)[:, None]              # [K, 1]
+    ca = jnp.cos(ang)[:, None]
+    sa = jnp.sin(ang)[:, None]
+    gx = _GRID_J[None, :, 0] * cell
+    gy = _GRID_J[None, :, 1] * cell
+    sx = x[:, None] + ca * gx - sa * gy
+    sy = y[:, None] + sa * gx + ca * gy
+    m = _bilinear_flat(gm_flat, base[:, None], W[:, None], H[:, None], sx, sy)
+    o = _bilinear_flat(go_flat, base[:, None], W[:, None], H[:, None], sx, sy) - ang[:, None]
+    w = m * jnp.exp(
+        -(_GRID_J[None, :, 0] ** 2 + _GRID_J[None, :, 1] ** 2) / (2 * 8.0 * 8.0)
+    )                                                      # [K, 256]
+    bx = (_GRID_J[None, :, 0] + 7.5) / 4.0
+    by = (_GRID_J[None, :, 1] + 7.5) / 4.0
     bo = (o / (2 * jnp.pi)) % 1.0 * 8.0
-    desc = jnp.zeros((4, 4, 8))
     bx0 = jnp.floor(bx - 0.5)
     by0 = jnp.floor(by - 0.5)
     bo0 = jnp.floor(bo)
     fx = bx - 0.5 - bx0
     fy = by - 0.5 - by0
     fo = bo - bo0
+    desc = jnp.zeros((w.shape[0], 128), jnp.float32)
     for dx_ in (0, 1):
         for dy_ in (0, 1):
             for do_ in (0, 1):
@@ -244,15 +285,15 @@ def _descriptor_one(gm, go, x, y, sigma_local, ang):
                 iy = (by0 + dy_).astype(jnp.int32)
                 io = (bo0 + do_).astype(jnp.int32) % 8
                 inb = (ix >= 0) & (ix < 4) & (iy >= 0) & (iy < 4)
-                contrib = jnp.where(inb, w * wx * wy * wo, 0.0)
-                desc = desc.at[
-                    jnp.clip(iy, 0, 3), jnp.clip(ix, 0, 3), io
-                ].add(contrib)
-    d = desc.reshape(128)
-    d = d / jnp.maximum(jnp.linalg.norm(d), 1e-12)
+                contrib = jnp.where(inb, w * wx * wy * wo, 0.0)   # [K, 256]
+                lin = (jnp.clip(iy, 0, 3) * 4 + jnp.clip(ix, 0, 3)) * 8 + io
+                # scatter-free trilinear binning: one-hot contraction
+                desc = desc + jnp.einsum(
+                    "ks,ksb->kb", contrib, jax.nn.one_hot(lin, 128, dtype=jnp.float32)
+                )
+    d = desc / jnp.maximum(jnp.linalg.norm(desc, axis=1, keepdims=True), 1e-12)
     d = jnp.minimum(d, 0.2)
-    d = d / jnp.maximum(jnp.linalg.norm(d), 1e-12)
-    return d
+    return d / jnp.maximum(jnp.linalg.norm(d, axis=1, keepdims=True), 1e-12)
 
 
 @partial(jax.jit, static_argnames=("cfg",))
@@ -311,29 +352,40 @@ def detect_and_describe(intensity, depth, cfg: SiftConfig = SiftConfig()) -> Sif
     koct = oct_idx[top_i]
     ksidx = s_idx[top_i]
 
-    # gradient images per octave at each level; orientation + descriptor
-    # sample from the key's own level. To stay fixed-shape we switch over
-    # octaves/levels with masks.
-    ang = jnp.zeros((K,))
-    desc = jnp.zeros((K, 128))
+    # Gradient bank: magnitude/orientation of every (octave, level) image,
+    # flattened and concatenated so each key gathers from its own level in
+    # ONE pass (the former per-(octave, level) masked passes did the full
+    # per-key work num_octaves*S times).
+    gm_parts, go_parts = [], []
+    base_np = np.zeros((len(octaves), S + 1), np.int32)
+    W_np = np.zeros((len(octaves),), np.int32)
+    H_np = np.zeros((len(octaves),), np.int32)
+    off = 0
     for o, pyr in enumerate(octaves):
-        mul = float(2**o)
+        Ho, Wo = pyr["gauss"].shape[1:]
+        H_np[o], W_np[o] = Ho, Wo
         for s in range(1, S + 1):
             g = pyr["gauss"][s]
             dgx = 0.5 * (jnp.roll(g, -1, 1) - jnp.roll(g, 1, 1))
             dgy = 0.5 * (jnp.roll(g, -1, 0) - jnp.roll(g, 1, 0))
-            gm = jnp.sqrt(dgx * dgx + dgy * dgy)
-            go = jnp.arctan2(dgy, dgx) % (2 * jnp.pi)
-            sel = (koct == o) & (ksidx == s) & kvalid
-            lx = kx / mul
-            ly = ky / mul
-            sig_local = cfg.sigma0 * (2.0 ** (s / S))
-            a = jax.vmap(lambda xx, yy: _orientation_one(gm, go, xx, yy, sig_local))(lx, ly)
-            ang = jnp.where(sel, a, ang)
-            dsc = jax.vmap(
-                lambda xx, yy, aa: _descriptor_one(gm, go, xx, yy, sig_local, aa)
-            )(lx, ly, a)
-            desc = jnp.where(sel[:, None], dsc, desc)
+            gm_parts.append(jnp.sqrt(dgx * dgx + dgy * dgy).reshape(-1))
+            go_parts.append((jnp.arctan2(dgy, dgx) % (2 * jnp.pi)).reshape(-1))
+            base_np[o, s] = off
+            off += Ho * Wo
+    gm_flat = jnp.concatenate(gm_parts)
+    go_flat = jnp.concatenate(go_parts)
+
+    base = jnp.asarray(base_np)[koct, ksidx]               # [K]
+    Wk = jnp.asarray(W_np)[koct]
+    Hk = jnp.asarray(H_np)[koct]
+    mulk = jnp.exp2(koct.astype(jnp.float32))
+    lx = kx / mulk
+    ly = ky / mulk
+    sig_local = cfg.sigma0 * jnp.exp2(ksidx.astype(jnp.float32) / S)
+
+    ang = _orientations(gm_flat, go_flat, base, Wk, Hk, lx, ly, sig_local)
+    desc = _descriptors(gm_flat, go_flat, base, Wk, Hk, lx, ly, sig_local, ang)
+    desc = jnp.where(kvalid[:, None], desc, 0.0)
 
     return SiftKeypoints(
         pos=jnp.stack([kx, ky], -1),

@@ -40,7 +40,7 @@ import numpy as np
 
 from bundlefusion_tpu.config import AppConfig, BundlingConfig
 from bundlefusion_tpu.geometry.camera import CameraIntrinsics
-from bundlefusion_tpu.geometry.lie import matrix_to_pose, pose_to_matrix
+from bundlefusion_tpu.geometry.lie import matrix_to_pose, pose_inverse, pose_to_matrix
 from bundlefusion_tpu.ops.filters import DenseVerifyParams
 from bundlefusion_tpu.ops.image import erode_depth, resample_bilinear, resample_nearest, rgb_to_intensity
 from bundlefusion_tpu.ops.sift import SiftConfig, detect_and_describe
@@ -87,6 +87,32 @@ def preprocess_frame(depth, color, sift_hw, int_hw):
     depth_int = resample_nearest(d, ih, iw)
     color_int = resample_bilinear(color, ih, iw)
     return intensity_sift, depth_sift, depth_int, color_int
+
+
+@partial(jax.jit, static_argnames=("intr", "vp"))
+def _verify_local_pairs(local_world, lv, cache_depth, cache_campos, cache_normal, intr, vp):
+    """Dense-verify all adjacent submap frame pairs in one jitted program
+    (``VerifyTrajectoryCU``; formerly an eager per-pair host loop).
+
+    Returns (n_checked, n_failed) scalars.
+    """
+    from bundlefusion_tpu.ops.filters import dense_verify_pair
+
+    T_next_inv = jax.vmap(pose_inverse)(local_world[1:])
+    T_rel = jnp.einsum("sij,sjk->sik", T_next_inv, local_world[:-1])
+    keep, err, corr = jax.vmap(
+        lambda T, d0, c0, n0, d1, c1, n1: dense_verify_pair(
+            T, d0, c0, n0, d1, c1, n1, intr, vp
+        )
+    )(
+        T_rel,
+        cache_depth[:-1], cache_campos[:-1], cache_normal[:-1],
+        cache_depth[1:], cache_campos[1:], cache_normal[1:],
+    )
+    checked = lv[:-1] & lv[1:]
+    n_checked = jnp.sum(checked.astype(jnp.int32))
+    n_failed = jnp.sum((checked & ~keep).astype(jnp.int32))
+    return n_checked, n_failed
 
 
 class BundleFusion:
@@ -467,36 +493,24 @@ class BundleFusion:
         frame pairs (``VerifyTrajectoryCU``/``useVerification`` with the
         s_verifyOpt* thresholds). Returns False if the aggregate projective
         error is too high or overlap too low."""
-        from bundlefusion_tpu.ops.filters import dense_verify_pair
-
         vp = dataclasses.replace(
             self.frontend_local.dense,
             err_thresh=self.bundling.verify_opt_err_thresh,
             corr_thresh=self.bundling.verify_opt_corr_thresh,
         )
-        n_checked = 0
-        n_failed = 0
-        for r in range(self.S - 1):
-            if not (lv[r] and lv[r + 1]):
-                continue
-            T_rel = np.linalg.inv(local_world[r + 1]) @ local_world[r]
-            keep, err, corr = dense_verify_pair(
-                jnp.asarray(T_rel.astype(np.float32)),
-                self.local_cache.depth[r],
-                self.local_cache.campos[r],
-                self.local_cache.normal[r],
-                self.local_cache.depth[r + 1],
-                self.local_cache.campos[r + 1],
-                self.local_cache.normal[r + 1],
-                self.intr_cache,
-                vp,
-            )
-            n_checked += 1
-            if not bool(keep):
-                n_failed += 1
+        n_checked, n_failed = _verify_local_pairs(
+            jnp.asarray(local_world.astype(np.float32)),
+            jnp.asarray(lv),
+            self.local_cache.depth,
+            self.local_cache.campos,
+            self.local_cache.normal,
+            self.intr_cache,
+            vp,
+        )
+        n_checked = int(n_checked)
         if n_checked == 0:
             return True
-        return n_failed <= n_checked // 3
+        return int(n_failed) <= n_checked // 3
 
     # ------------------------------------------------------------------
     def _try_revalidation(self):

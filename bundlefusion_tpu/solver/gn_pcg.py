@@ -127,8 +127,12 @@ def solve_sparse(
 
     v = corrs.valid_mask()
     vf = v.astype(jnp.float32)[:, None]
-    ii = jnp.where(v, corrs.img_i, N)  # N = drop bucket
-    jj = jnp.where(v, corrs.img_j, N)
+
+    # one-hot incidence matrices: segment-sums (J^T) and gathers (J) become
+    # MXU matmuls instead of TPU-hostile scatter/gather loops. Invalid corrs
+    # get an all-zero row.
+    oh_i = jax.nn.one_hot(jnp.where(v, corrs.img_i, N), N, dtype=jnp.float32)
+    oh_j = jax.nn.one_hot(jnp.where(v, corrs.img_j, N), N, dtype=jnp.float32)
 
     c0 = cost(poses, corrs)
 
@@ -145,14 +149,15 @@ def solve_sparse(
         def JT(y):  # y [C, 3] -> [N, 6]
             gi = jnp.einsum("cij,ci->cj", Ji, y)
             gj = jnp.einsum("cij,ci->cj", Jj, y)
-            out = jnp.zeros((N + 1, 6), jnp.float32)
-            out = out.at[ii].add(gi, mode="drop")
-            out = out.at[jj].add(gj, mode="drop")
-            return out[:N] * free_f
+            out = jnp.einsum("cn,cj->nj", oh_i, gi) + jnp.einsum(
+                "cn,cj->nj", oh_j, gj
+            )
+            return out * free_f
 
         def J(x):  # x [N, 6] -> [C, 3]
-            xi = _gather_poses(x * free_f, corrs.img_i)
-            xj = _gather_poses(x * free_f, corrs.img_j)
+            xf = x * free_f
+            xi = oh_i @ xf
+            xj = oh_j @ xf
             return jnp.einsum("cij,cj->ci", Ji, xi) + jnp.einsum(
                 "cij,cj->ci", Jj, xj
             )
@@ -160,12 +165,12 @@ def solve_sparse(
         b = -JT(r)  # [N, 6] right-hand side
 
         # block-Jacobi preconditioner: 6x6 per pose
-        Pi = jnp.einsum("cik,cil->ckl", Ji, Ji)
-        Pj = jnp.einsum("cik,cil->ckl", Jj, Jj)
-        P = jnp.zeros((N + 1, 6, 6), jnp.float32)
-        P = P.at[ii].add(Pi, mode="drop")
-        P = P.at[jj].add(Pj, mode="drop")
-        P = P[:N] + jnp.eye(6) * 1e-6
+        Pi = jnp.einsum("cik,cil->ckl", Ji, Ji).reshape(-1, 36)
+        Pj = jnp.einsum("cik,cil->ckl", Jj, Jj).reshape(-1, 36)
+        P = (
+            jnp.einsum("cn,cp->np", oh_i, Pi) + jnp.einsum("cn,cp->np", oh_j, Pj)
+        ).reshape(N, 6, 6)
+        P = P + jnp.eye(6) * 1e-6
         P_inv = jnp.linalg.inv(P)
 
         def apply_P(x):
@@ -264,8 +269,8 @@ def solve_bundle(
     free_f = free.astype(jnp.float32)[:, None]
     v = corrs.valid_mask()
     vf = v.astype(jnp.float32)[:, None]
-    ii = jnp.where(v, corrs.img_i, N)
-    jj = jnp.where(v, corrs.img_j, N)
+    oh_i = jax.nn.one_hot(jnp.where(v, corrs.img_i, N), N, dtype=jnp.float32)
+    oh_j = jax.nn.one_hot(jnp.where(v, corrs.img_j, N), N, dtype=jnp.float32)
     c0 = cost(poses, corrs)
 
     def gn_iter(it, carry):
@@ -285,24 +290,25 @@ def solve_bundle(
         def JT(y):
             gi = jnp.einsum("cij,ci->cj", Ji, y)
             gj = jnp.einsum("cij,ci->cj", Jj, y)
-            out = jnp.zeros((N + 1, 6), jnp.float32)
-            out = out.at[ii].add(gi, mode="drop")
-            out = out.at[jj].add(gj, mode="drop")
-            return out[:N] * free_f
+            out = jnp.einsum("cn,cj->nj", oh_i, gi) + jnp.einsum(
+                "cn,cj->nj", oh_j, gj
+            )
+            return out * free_f
 
         def J(x):
-            xi = _gather_poses(x * free_f, corrs.img_i)
-            xj = _gather_poses(x * free_f, corrs.img_j)
+            xf = x * free_f
+            xi = oh_i @ xf
+            xj = oh_j @ xf
             return jnp.einsum("cij,cj->ci", Ji, xi) + jnp.einsum("cij,cj->ci", Jj, xj)
 
         b = -JT(r) + w_dense * dense_rhs(dsys, N) * free_f
 
-        Pi = jnp.einsum("cik,cil->ckl", Ji, Ji)
-        Pj = jnp.einsum("cik,cil->ckl", Jj, Jj)
-        P = jnp.zeros((N + 1, 6, 6), jnp.float32)
-        P = P.at[ii].add(Pi, mode="drop")
-        P = P.at[jj].add(Pj, mode="drop")
-        P = P[:N] + w_dense * dense_precond_blocks(dsys, N) + jnp.eye(6) * 1e-6
+        Pi = jnp.einsum("cik,cil->ckl", Ji, Ji).reshape(-1, 36)
+        Pj = jnp.einsum("cik,cil->ckl", Jj, Jj).reshape(-1, 36)
+        P = (
+            jnp.einsum("cn,cp->np", oh_i, Pi) + jnp.einsum("cn,cp->np", oh_j, Pj)
+        ).reshape(N, 6, 6)
+        P = P + w_dense * dense_precond_blocks(dsys, N) + jnp.eye(6) * 1e-6
         P_inv = jnp.linalg.inv(P)
 
         def apply_P(x):

@@ -72,7 +72,7 @@ def candidate_blocks(
     cam_to_world,
     params: TsdfParams,
     samples_per_ray: int = 5,
-    stride: int = 2,
+    stride: int = 4,
 ):
     """Candidate block coords along each pixel ray within the truncation band.
 
@@ -80,8 +80,10 @@ def candidate_blocks(
     (``allocKernel``). Here we take ``samples_per_ray`` evenly spaced samples
     in that band and emit the containing block of each — at default settings
     (band ~14 cm, block 8 cm) consecutive samples are < 1 block apart so
-    coverage matches the DDA. ``stride`` subsamples pixels (each block's
-    footprint at 0.5 m is ~20 px, so stride 2 loses nothing).
+    coverage matches the DDA. ``stride`` subsamples pixels: a block's
+    footprint at the 3 m max integration distance is ~7 px at 320x240
+    intrinsics, so stride 4 still hits every block; candidate count (and the
+    dedup sort + presence lookup it feeds) shrinks 4x vs stride 2.
 
     Returns (coords [M, 3] int32, valid [M] bool).
     """
@@ -206,6 +208,7 @@ def integrate_frame(
     vp = visible_positions
     valid_block = vp >= 0
     safe_vp = jnp.clip(vp, 0, table.capacity - 1)
+    # invalid entries read/write the dummy payload row (index num_blocks)
     slots = jnp.where(valid_block, table.slots[safe_vp], table.num_blocks)
     coords = unpack_key(table.keys[safe_vp])
 
@@ -235,27 +238,71 @@ def integrate_frame(
     # keep constant for parity)
     w_new = jnp.where(upd, params.integration_weight_sample, 0.0) * sign
 
-    old_sdf = table.sdf[slots.clip(0, table.num_blocks - 1)]
-    old_w = table.weight[slots.clip(0, table.num_blocks - 1)]
-    old_c = table.color[slots.clip(0, table.num_blocks - 1)]
+    old_sdf = table.sdf[slots]
+    old_w = table.weight[slots]
+    old_c = table.color[slots]        # [K, 3, V]
 
     new_w = jnp.clip(old_w + w_new, 0.0, params.integration_weight_max)
     applied_w = new_w - old_w  # actual delta after clamping
     # store weighted sums: sdf stored as mean, so convert via weights
     sum_sdf = old_sdf * old_w + jnp.where(upd, sdf_cl, 0.0) * applied_w
     new_sdf = jnp.where(new_w > 0, sum_sdf / jnp.maximum(new_w, 1e-12), 0.0)
-    new_c = old_c + jnp.where(upd[..., None], rgb, 0.0) * applied_w[..., None]
+    rgb_cm = jnp.moveaxis(rgb, -1, 1)  # [K, 3, V] channel-major
+    new_c = old_c + jnp.where(upd[:, None, :], rgb_cm, 0.0) * applied_w[:, None, :]
     new_c = jnp.maximum(new_c, 0.0)
 
-    scatter_slots = jnp.where(valid_block, slots, table.num_blocks)
     return table._replace(
-        sdf=table.sdf.at[scatter_slots].set(new_sdf, mode="drop"),
-        weight=table.weight.at[scatter_slots].set(new_w, mode="drop"),
-        color=table.color.at[scatter_slots].set(new_c, mode="drop"),
+        sdf=table.sdf.at[slots].set(new_sdf),
+        weight=table.weight.at[slots].set(new_w),
+        color=table.color.at[slots].set(new_c),
     )
 
 
-@partial(jax.jit, static_argnames=("intr", "params", "cap"))
+def _use_pallas() -> bool:
+    """Pallas kernel on TPU; pure-XLA twin elsewhere (tests compare them)."""
+    import os
+
+    force = os.environ.get("BF_TSDF_KERNEL", "")
+    if force == "pallas":
+        return True
+    if force == "xla":
+        return False
+    return jax.default_backend() == "tpu"
+
+
+@partial(
+    jax.jit,
+    static_argnames=("intr", "params", "cap", "use_pallas"),
+    donate_argnums=(0,),
+)
+def _integrate_impl(table, depth, color, intr, cam_to_world, params, cap, use_pallas):
+    table = allocate_for_frame(table, depth, intr, cam_to_world, params)
+    vis, _ = visible_block_indices(table, intr, cam_to_world, params, cap)
+    if use_pallas:
+        from bundlefusion_tpu.tsdf.integrate_pallas import integrate_frame_pallas
+
+        return integrate_frame_pallas(
+            table, depth, color, intr, cam_to_world, params, vis, 1.0
+        )
+    return integrate_frame(table, depth, color, intr, cam_to_world, params, vis, 1.0)
+
+
+@partial(
+    jax.jit,
+    static_argnames=("intr", "params", "cap", "use_pallas"),
+    donate_argnums=(0,),
+)
+def _deintegrate_impl(table, depth, color, intr, cam_to_world, params, cap, use_pallas):
+    vis, _ = visible_block_indices(table, intr, cam_to_world, params, cap)
+    if use_pallas:
+        from bundlefusion_tpu.tsdf.integrate_pallas import integrate_frame_pallas
+
+        return integrate_frame_pallas(
+            table, depth, color, intr, cam_to_world, params, vis, -1.0
+        )
+    return integrate_frame(table, depth, color, intr, cam_to_world, params, vis, -1.0)
+
+
 def integrate(
     table: VoxelBlockTable,
     depth,
@@ -265,13 +312,16 @@ def integrate(
     params: TsdfParams,
     cap: int = 32768,
 ) -> VoxelBlockTable:
-    """Full integrate step: allocate -> compactify -> fuse."""
-    table = allocate_for_frame(table, depth, intr, cam_to_world, params)
-    vis, _ = visible_block_indices(table, intr, cam_to_world, params, cap)
-    return integrate_frame(table, depth, color, intr, cam_to_world, params, vis, 1.0)
+    """Full integrate step: allocate -> compactify -> fuse.
+
+    The caller's table buffers are donated (updated in place on device);
+    hold no references to the old table after calling.
+    """
+    return _integrate_impl(
+        table, depth, color, intr, cam_to_world, params, cap, _use_pallas()
+    )
 
 
-@partial(jax.jit, static_argnames=("intr", "params", "cap"))
 def deintegrate(
     table: VoxelBlockTable,
     depth,
@@ -284,6 +334,8 @@ def deintegrate(
     """Remove a previously integrated frame at pose ``cam_to_world``.
 
     No allocation (blocks must already exist); weights clamp at zero.
+    Donates the table like :func:`integrate`.
     """
-    vis, _ = visible_block_indices(table, intr, cam_to_world, params, cap)
-    return integrate_frame(table, depth, color, intr, cam_to_world, params, vis, -1.0)
+    return _deintegrate_impl(
+        table, depth, color, intr, cam_to_world, params, cap, _use_pallas()
+    )

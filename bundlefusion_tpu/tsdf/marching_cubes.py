@@ -29,6 +29,7 @@ from bundlefusion_tpu.tsdf.table import (
     BLOCK_SIZE,
     EMPTY_KEY,
     VoxelBlockTable,
+    color_at,
     lookup_blocks,
     unpack_key,
 )
@@ -127,7 +128,7 @@ def _corner_samples(table: VoxelBlockTable, block_pos_chunk, voxel_size):
         s = jnp.where(ok, table.sdf[ss, lin], 0.0)
         w = jnp.where(ok, table.weight[ss, lin], 0.0)
         col = jnp.where(
-            ok[..., None], table.color[ss, lin] / jnp.maximum(w, 1e-12)[..., None], 0.0
+            ok[..., None], color_at(table, ss, lin) / jnp.maximum(w, 1e-12)[..., None], 0.0
         )
         sdfs.append(s)
         ws.append(w)

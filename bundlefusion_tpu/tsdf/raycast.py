@@ -122,9 +122,11 @@ def _sample_trilinear(grid, origin, table, pts_world, voxel_size, grid_dim, with
                 sdf_acc = sdf_acc + wgt * s
                 wmin = jnp.minimum(wmin, w)
                 if with_color:
+                    from bundlefusion_tpu.tsdf.table import color_at
+
                     c = jnp.where(
                         ok[..., None],
-                        table.color[ss, lin] / jnp.maximum(w, 1e-12)[..., None],
+                        color_at(table, ss, lin) / jnp.maximum(w, 1e-12)[..., None],
                         0.0,
                     )
                     col_acc = col_acc + wgt[..., None] * c

@@ -55,7 +55,7 @@ class HostBlockStore:
             return (
                 np.zeros((0, BLOCK_SIZE**3), np.float32),
                 np.zeros((0, BLOCK_SIZE**3), np.float32),
-                np.zeros((0, BLOCK_SIZE**3, 3), np.float32),
+                np.zeros((0, 3, BLOCK_SIZE**3), np.float32),
             )
         return (
             np.stack([o[0] for o in out]),

@@ -23,7 +23,12 @@ weight (so de-integration is a plain subtraction; the reference instead blends
 colors 0.2/0.8 on integrate and inverts the blend on de-integrate,
 ``CUDASceneRepHashSDF.cu:420-521`` — premultiplied storage makes
 integrate/de-integrate exactly inverse operations, which the reference's color
-path is not).
+path is not). Color is stored channel-major ``[N, 3, BLOCK_VOLUME]`` so a
+block row reshapes freely to the (8, 64)-tiled layout the Pallas integrate
+kernel wants. Payload arrays carry one extra hidden **dummy row** at index
+``num_blocks``: scatters of invalid/overflow entries land there instead of
+needing drop semantics, and the Pallas kernel routes skipped grid programs'
+row DMA to it.
 
 Block coordinates live in [-GRID_HALF, GRID_HALF)^3 and pack into 30 bits.
 """
@@ -48,9 +53,9 @@ class VoxelBlockTable(NamedTuple):
 
     keys: jax.Array       # int32[capacity], sorted, EMPTY_KEY padded
     slots: jax.Array      # int32[capacity], voxel slot per key
-    sdf: jax.Array        # float32[num_blocks, BLOCK_VOLUME]
-    weight: jax.Array     # float32[num_blocks, BLOCK_VOLUME]
-    color: jax.Array      # float32[num_blocks, BLOCK_VOLUME, 3] premult. by weight
+    sdf: jax.Array        # float32[num_blocks + 1, BLOCK_VOLUME] (+1 dummy row)
+    weight: jax.Array     # float32[num_blocks + 1, BLOCK_VOLUME]
+    color: jax.Array      # float32[num_blocks + 1, 3, BLOCK_VOLUME] premult. by weight
     free_list: jax.Array  # int32[num_blocks] stack of free slots
     free_count: jax.Array # int32[] number of free slots
     num_alloc_failures: jax.Array  # int32[] overflow accounting
@@ -61,19 +66,27 @@ class VoxelBlockTable(NamedTuple):
 
     @property
     def num_blocks(self) -> int:
-        return self.sdf.shape[0]
+        return self.sdf.shape[0] - 1  # last row is the scatter/DMA dummy
 
 
 def create_table(capacity: int, num_blocks: int) -> VoxelBlockTable:
     return VoxelBlockTable(
         keys=jnp.full((capacity,), EMPTY_KEY, jnp.int32),
         slots=jnp.full((capacity,), -1, jnp.int32),
-        sdf=jnp.zeros((num_blocks, BLOCK_VOLUME), jnp.float32),
-        weight=jnp.zeros((num_blocks, BLOCK_VOLUME), jnp.float32),
-        color=jnp.zeros((num_blocks, BLOCK_VOLUME, 3), jnp.float32),
+        sdf=jnp.zeros((num_blocks + 1, BLOCK_VOLUME), jnp.float32),
+        weight=jnp.zeros((num_blocks + 1, BLOCK_VOLUME), jnp.float32),
+        color=jnp.zeros((num_blocks + 1, 3, BLOCK_VOLUME), jnp.float32),
         free_list=jnp.arange(num_blocks, dtype=jnp.int32),
         free_count=jnp.asarray(num_blocks, jnp.int32),
         num_alloc_failures=jnp.asarray(0, jnp.int32),
+    )
+
+
+def color_at(table: VoxelBlockTable, slot, lin):
+    """Premultiplied RGB at (block slot, linear voxel index) -> [..., 3]."""
+    return jnp.stack(
+        [table.color[slot, 0, lin], table.color[slot, 1, lin], table.color[slot, 2, lin]],
+        axis=-1,
     )
 
 
@@ -152,41 +165,48 @@ def allocate(table: VoxelBlockTable, candidate_coords, valid_mask) -> VoxelBlock
     # skip blocks already in the table
     existing = lookup_packed(table, packed) >= 0
     is_new = uniq & ~existing
-    # rank of each new block among new blocks
-    rank = jnp.cumsum(is_new.astype(jnp.int32)) - 1
     num_new_req = jnp.sum(is_new.astype(jnp.int32))
-    num_new = jnp.minimum(num_new_req, table.free_count)
-    can_alloc = is_new & (rank < num_new)
-    # pop from the top of the free-list stack
-    take_pos = table.free_count - 1 - rank
-    new_slot = jnp.where(
-        can_alloc, table.free_list[jnp.clip(take_pos, 0, table.num_blocks - 1)], -1
-    )
-    # clear voxel payload of newly allocated slots (scatter; drop idx<0)
-    clear_idx = jnp.where(can_alloc, new_slot, table.num_blocks)
-    sdf = table.sdf.at[clear_idx].set(0.0, mode="drop")
-    weight = table.weight.at[clear_idx].set(0.0, mode="drop")
-    color = table.color.at[clear_idx].set(0.0, mode="drop")
-    # merge: concat and re-sort; EMPTY keys sort to the tail and are truncated
-    new_keys = jnp.where(can_alloc, packed, EMPTY_KEY)
-    all_keys = jnp.concatenate([table.keys, new_keys])
-    all_slots = jnp.concatenate([table.slots, new_slot])
-    order = jnp.argsort(all_keys)
-    all_keys = all_keys[order][: table.capacity]
-    all_slots = all_slots[order][: table.capacity]
-    # capacity overflow check: a real key beyond capacity would be dropped
-    dropped = jnp.sum((jnp.sort(jnp.concatenate([table.keys, new_keys]))[table.capacity:] != EMPTY_KEY).astype(jnp.int32))
-    return table._replace(
-        keys=all_keys,
-        slots=all_slots,
-        sdf=sdf,
-        weight=weight,
-        color=color,
-        free_count=table.free_count - num_new,
-        num_alloc_failures=table.num_alloc_failures
-        + (num_new_req - num_new)
-        + dropped,
-    )
+
+    def merge(tab: VoxelBlockTable) -> VoxelBlockTable:
+        # rank of each new block among new blocks
+        rank = jnp.cumsum(is_new.astype(jnp.int32)) - 1
+        num_new = jnp.minimum(num_new_req, tab.free_count)
+        can_alloc = is_new & (rank < num_new)
+        # pop from the top of the free-list stack
+        take_pos = tab.free_count - 1 - rank
+        new_slot = jnp.where(
+            can_alloc, tab.free_list[jnp.clip(take_pos, 0, tab.num_blocks - 1)], -1
+        )
+        # clear voxel payload of newly allocated slots (invalid -> dummy row)
+        clear_idx = jnp.where(can_alloc, new_slot, tab.num_blocks)
+        sdf = tab.sdf.at[clear_idx].set(0.0)
+        weight = tab.weight.at[clear_idx].set(0.0)
+        color = tab.color.at[clear_idx].set(0.0)
+        # merge: concat and re-sort; EMPTY keys sort to the tail, truncated
+        new_keys = jnp.where(can_alloc, packed, EMPTY_KEY)
+        all_keys = jnp.concatenate([tab.keys, new_keys])
+        all_slots = jnp.concatenate([tab.slots, new_slot])
+        order = jnp.argsort(all_keys)
+        all_keys_sorted = all_keys[order]
+        # capacity overflow check: a real key beyond capacity is dropped
+        dropped = jnp.sum(
+            (all_keys_sorted[tab.capacity :] != EMPTY_KEY).astype(jnp.int32)
+        )
+        return tab._replace(
+            keys=all_keys_sorted[: tab.capacity],
+            slots=all_slots[order][: tab.capacity],
+            sdf=sdf,
+            weight=weight,
+            color=color,
+            free_count=tab.free_count - num_new,
+            num_alloc_failures=tab.num_alloc_failures
+            + (num_new_req - num_new)
+            + dropped,
+        )
+
+    # steady-state fast path: revisited space allocates nothing, so the
+    # expensive merge sort is skipped entirely (lax.cond executes one branch)
+    return jax.lax.cond(num_new_req > 0, merge, lambda t: t, table)
 
 
 def free_blocks(table: VoxelBlockTable, free_mask) -> VoxelBlockTable:
@@ -230,7 +250,7 @@ def starve(table: VoxelBlockTable, amount: float = 1.0) -> VoxelBlockTable:
     """Decay all voxel weights (reference ``starveVoxelsKernel``)."""
     w = jnp.maximum(table.weight - amount, 0.0)
     scale = jnp.where(table.weight > 0, w / jnp.maximum(table.weight, 1e-12), 0.0)
-    return table._replace(weight=w, color=table.color * scale[..., None])
+    return table._replace(weight=w, color=table.color * scale[:, None, :])
 
 
 def num_occupied(table: VoxelBlockTable):

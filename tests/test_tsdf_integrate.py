@@ -68,14 +68,17 @@ def test_integrate_deintegrate_inverse(frame0):
     d2, c2 = render_pose(pose2)
     t = integrate(t, d2, c2, INTR, jnp.asarray(pose2), PARAMS, cap=VIS_CAP)
     t = deintegrate(t, d2, c2, INTR, jnp.asarray(pose2), PARAMS, cap=VIS_CAP)
-    w1 = np.asarray(t.weight)
-    sdf1 = np.asarray(t.sdf)
-    c1 = np.asarray(t.color)
+    n = t.num_blocks  # exclude the dummy payload row (garbage by design)
+    w1 = np.asarray(t.weight)[:n]
+    sdf1 = np.asarray(t.sdf)[:n]
+    c1 = np.asarray(t.color)[:n]
+    w0, sdf0, c0 = w0[:n], sdf0[:n], c0[:n]
     np.testing.assert_allclose(w1, w0, atol=1e-4)
     # where weight > 0, sdf must match
     m = w0 > 0
     np.testing.assert_allclose(sdf1[m], sdf0[m], atol=1e-3)
-    np.testing.assert_allclose(c1[m], c0[m], atol=1e-3)
+    mc = np.broadcast_to(m[:, None, :], c1.shape)  # color is [N, 3, V]
+    np.testing.assert_allclose(c1[mc], c0[mc], atol=1e-3)
 
 
 def test_raycast_roundtrip(frame0):
