@@ -90,6 +90,7 @@ def main():
     t0 = time.perf_counter()
     for i in range(warmup_frames, n_frames):
         eng.process_frame(seq["depth"][i], seq["color"][i])
+    jax.block_until_ready((eng.local, eng.glob, eng.table))  # drain in-flight work
     elapsed = time.perf_counter() - t0
     timed = n_frames - warmup_frames
     fps = timed / elapsed

@@ -138,7 +138,7 @@ def main(argv=None):
         out = eng.process_frame(np.asarray(depth), np.asarray(color))
         n_done += 1
         if n_done % 10 == 0:
-            print(f"[ {n_done} ] valid={out['valid']} "
+            print(f"[ {n_done} ] valid={bool(out['valid'])} "
                   f"({n_done / (time.perf_counter() - t0):.2f} fps)", flush=True)
     eng.finish()
     elapsed = time.perf_counter() - t0

@@ -4,7 +4,8 @@ Re-design of the reference's orchestration stack — ``FriedLiver.cpp`` main
 loop + bundling thread, ``OnlineBundler`` (two-level hierarchy, submap
 double-buffering, trajectory chaining), ``Bundler`` (detect / match+filter /
 optimize per domain), ``DepthSensing.cpp`` frame loop (integrate, reintegrate,
-raycast) — as one host-driven Python class over jitted stage programs.
+raycast) — as one host-driven Python class over a handful of FUSED jitted
+programs.
 
 Hierarchy semantics mirrored from the reference:
 - submaps of ``submap_size`` frames with ONE-FRAME OVERLAP: frame k*S is both
@@ -21,18 +22,30 @@ Hierarchy semantics mirrored from the reference:
 - TrajectoryManager-driven de-integration / re-integration with a
   per-frame op budget (``DepthSensing.cpp: reintegrate():854-902``).
 
-The host loop stays off the critical path: every stage is a jitted program
-on device arrays; host code only routes pytrees and makes small control-flow
-decisions from scalars it must read anyway (pair validity, solve stats) —
-the analog of the reference's per-frame host logic, without its
-per-kernel syncs.
+Latency design (the analog of the reference's dual-GPU thread split): the
+reference hides per-stage latency with two threads and per-kernel syncs; a
+TPU reached through a runtime tunnel pays ~5 ms per *dispatch*, so the
+engine instead fuses each phase into ONE jitted program over device-resident
+state:
+
+- ``frame_step``  — preprocess + SIFT detect + store + match/filter cascade
+  + residual append + pose chaining + TSDF integrate, one dispatch per frame.
+- ``submap_step`` — local GN/PCG solve + dense verification + keyframe
+  fusion + global match/filter + global solve + max-residual pruning +
+  submap rollover, one dispatch per submap.
+- ``reintegrate_batch`` — the whole ≤10-op de/re-integration budget as one
+  ``lax.scan``, one dispatch per frame (skipped when idle).
+
+Host code only routes pytrees, keeps the scheduling state the reference also
+keeps on CPU (TrajectoryManager, retry list), and reads back a few scalars
+per frame.
 """
 
 from __future__ import annotations
 
 import dataclasses
 from functools import partial
-from typing import List, Optional
+from typing import List, NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -41,7 +54,7 @@ import numpy as np
 from bundlefusion_tpu.config import AppConfig, BundlingConfig
 from bundlefusion_tpu.geometry.camera import CameraIntrinsics
 from bundlefusion_tpu.geometry.lie import matrix_to_pose, pose_inverse, pose_to_matrix
-from bundlefusion_tpu.ops.filters import DenseVerifyParams
+from bundlefusion_tpu.ops.filters import DenseVerifyParams, dense_verify_pair
 from bundlefusion_tpu.ops.image import erode_depth, resample_bilinear, resample_nearest, rgb_to_intensity
 from bundlefusion_tpu.ops.sift import SiftConfig, detect_and_describe
 from bundlefusion_tpu.pipeline.frames import (
@@ -64,13 +77,43 @@ from bundlefusion_tpu.pipeline.trajectory import TrajectoryManager
 from bundlefusion_tpu.solver.dense_term import DenseTermParams
 from bundlefusion_tpu.solver.gn_pcg import SolverParams, solve_bundle, solve_sparse
 from bundlefusion_tpu.solver.residuals import (
+    CorrStore,
     create_corr_store,
     invalidate_image_pair,
 )
-from bundlefusion_tpu.tsdf.integrate import TsdfParams, deintegrate, integrate
+from bundlefusion_tpu.tsdf.integrate import (
+    TsdfParams,
+    allocate_for_frame,
+    integrate_frame,
+    visible_block_indices,
+    _use_pallas,
+)
 from bundlefusion_tpu.tsdf.raycast import RaycastParams, raycast
 from bundlefusion_tpu.tsdf.table import create_table, garbage_collect
 from bundlefusion_tpu.utils.timing import TimingLog
+
+
+class LocalState(NamedTuple):
+    """Device-resident per-submap state (the reference's ``m_local`` Bundler:
+    SIFTImageManager arrays + CUDACache + EntryJ store + relative poses)."""
+
+    keys: KeyframeStore     # [S] keypoint store
+    cache: DenseCache       # [S] dense cache
+    corrs: CorrStore        # intra-submap EntryJ store
+    rel: jax.Array          # [S, 4, 4] frame -> submap-anchor transforms
+    valid: jax.Array        # [S] bool per-frame tracking validity
+
+
+class GlobalState(NamedTuple):
+    """Device-resident keyframe-graph state (the reference's ``m_global``
+    Bundler + per-submap solved trajectories for composition)."""
+
+    keys: KeyframeStore     # [G] fused keyframe keypoints
+    cache: DenseCache       # [G] keyframe dense cache
+    corrs: CorrStore        # global EntryJ store
+    poses: jax.Array        # [G, 6] keyframe poses (Lie [omega, t])
+    local_traj: jax.Array   # [G, S, 4, 4] solved submap trajectories
+    local_valid: jax.Array  # [G, S] bool per-frame validity after local solve
 
 
 @partial(jax.jit, static_argnames=("sift_hw", "int_hw"))
@@ -89,15 +132,9 @@ def preprocess_frame(depth, color, sift_hw, int_hw):
     return intensity_sift, depth_sift, depth_int, color_int
 
 
-@partial(jax.jit, static_argnames=("intr", "vp"))
-def _verify_local_pairs(local_world, lv, cache_depth, cache_campos, cache_normal, intr, vp):
-    """Dense-verify all adjacent submap frame pairs in one jitted program
-    (``VerifyTrajectoryCU``; formerly an eager per-pair host loop).
-
-    Returns (n_checked, n_failed) scalars.
-    """
-    from bundlefusion_tpu.ops.filters import dense_verify_pair
-
+def _verify_local_pairs(local_world, lv, cache: DenseCache, intr, vp):
+    """Dense-verify all adjacent submap frame pairs (``VerifyTrajectoryCU``).
+    Returns (n_checked, n_failed) scalars."""
     T_next_inv = jax.vmap(pose_inverse)(local_world[1:])
     T_rel = jnp.einsum("sij,sjk->sik", T_next_inv, local_world[:-1])
     keep, err, corr = jax.vmap(
@@ -106,8 +143,8 @@ def _verify_local_pairs(local_world, lv, cache_depth, cache_campos, cache_normal
         )
     )(
         T_rel,
-        cache_depth[:-1], cache_campos[:-1], cache_normal[:-1],
-        cache_depth[1:], cache_campos[1:], cache_normal[1:],
+        cache.depth[:-1], cache.campos[:-1], cache.normal[:-1],
+        cache.depth[1:], cache.campos[1:], cache.normal[1:],
     )
     checked = lv[:-1] & lv[1:]
     n_checked = jnp.sum(checked.astype(jnp.int32))
@@ -204,25 +241,31 @@ class BundleFusion:
             max_pairs=64,
         )
 
-        # ---- mutable state ----
-        K_local = self.sift_cfg.target_keys
-        self._reset_local()
-        self.global_keys = create_keyframe_store(self.G, bundling.max_num_keys_per_image)
-        self.global_cache = create_dense_cache(
-            self.G, self.intr_cache.height, self.intr_cache.width
+        # ---- device-resident state ----
+        self.local = self._fresh_local()
+        self.glob = GlobalState(
+            keys=create_keyframe_store(self.G, bundling.max_num_keys_per_image),
+            cache=create_dense_cache(
+                self.G, self.intr_cache.height, self.intr_cache.width
+            ),
+            corrs=create_corr_store(bundling.max_global_corr),
+            poses=jnp.zeros((self.G, 6), jnp.float32),
+            local_traj=jnp.zeros((self.G, self.S, 4, 4), jnp.float32),
+            local_valid=jnp.zeros((self.G, self.S), bool),
         )
-        self.global_corrs = create_corr_store(bundling.max_global_corr)
-        self.keyframe_poses = jnp.zeros((self.G, 6), jnp.float32)
         self.keyframe_valid = np.zeros(self.G, bool)
         self.num_keyframes = 0
 
         self.frame_idx = 0
         self.frame_valid: List[bool] = []
         self.sift_world: List[np.ndarray] = []     # per-frame chained estimate
-        self.local_trajectories: List[np.ndarray] = []  # per submap [S, 4, 4]
-        self.local_frame_valid: List[np.ndarray] = []   # per submap [S]
         self.complete_traj: List[np.ndarray] = []  # per-frame optimized 4x4 (nan invalid)
-        self.submap_base_world = np.eye(4, dtype=np.float32)
+        # device-resident current-submap anchor pose (never round-trips)
+        self.submap_base = jnp.eye(4, dtype=jnp.float32)
+        # in-flight results, retired with a one-frame lag to keep the host
+        # loop free of device syncs
+        self._pending_frames: List[tuple] = []
+        self._pending_submap: Optional[tuple] = None
 
         self.traj_manager = TrajectoryManager(app.top_n_active, app.min_pose_dist_sqrt)
         # relocalization retry list (reference SIFTImageManager retry list +
@@ -230,46 +273,334 @@ class BundleFusion:
         self.retry_list: List[int] = []
         self.retry_attempts: dict = {}
         self.max_retry_attempts = 10
-        # host copies of integration-res frames for re-integration
+        # host copies of integration-res frames for re-integration (the
+        # reference's ManagedRGBDInputFrame store is also CPU-resident by
+        # default, CUDAImageManager.h:13-138)
         self.stored_depth: List[np.ndarray] = []
-        self.stored_color: List[np.ndarray] = []
+        self.stored_color_u8: List[np.ndarray] = []
         self.timing = TimingLog()
         self.lost_count = 0
 
+        self._build_programs()
+
     # ------------------------------------------------------------------
-    def _reset_local(self):
-        K_local = self.sift_cfg.target_keys
-        self.local_keys = create_keyframe_store(self.S, K_local)
-        self.local_cache = create_dense_cache(
-            self.S, self.intr_cache.height, self.intr_cache.width
+    def _fresh_local(self) -> LocalState:
+        S = self.S
+        return LocalState(
+            keys=create_keyframe_store(S, self.sift_cfg.target_keys),
+            cache=create_dense_cache(
+                S, self.intr_cache.height, self.intr_cache.width
+            ),
+            corrs=create_corr_store(self.bundling.max_local_corr),
+            rel=jnp.broadcast_to(jnp.eye(4, dtype=jnp.float32), (S, 4, 4)),
+            valid=jnp.zeros((S,), bool),
         )
-        self.local_corrs = create_corr_store(self.bundling.max_local_corr)
-        self.local_rel = np.tile(np.eye(4, dtype=np.float32), (self.S, 1, 1))
-        self.local_valid = np.zeros(self.S, bool)
+
+    # ------------------------------------------------------------------
+    def _build_programs(self):
+        """Trace-time closure capture of all static config; builds the fused
+        jitted phase programs."""
+        app, bundling = self.app, self.bundling
+        intr_sift, intr_int, intr_cache = self.intr_sift, self.intr_int, self.intr_cache
+        sift_cfg = self.sift_cfg
+        fp_local, fp_global = self.frontend_local, self.frontend_global
+        tsdf_params, cap = self.tsdf_params, self.vis_cap
+        use_pallas = _use_pallas()
+        S, G = self.S, self.G
+        sub_len = S - 1
+        local_solver, global_solver = self.local_solver, self.global_solver
+        dtp = self.dense_term_params
+        verify_params = dataclasses.replace(
+            fp_local.dense,
+            err_thresh=bundling.verify_opt_err_thresh,
+            corr_thresh=bundling.verify_opt_corr_thresh,
+        )
+
+        def _integrate_body(table, depth_int, color_int, T_world, sign):
+            if sign > 0:
+                table = allocate_for_frame(table, depth_int, intr_int, T_world, tsdf_params)
+            vis, _ = visible_block_indices(table, intr_int, T_world, tsdf_params, cap)
+            if use_pallas:
+                from bundlefusion_tpu.tsdf.integrate_pallas import integrate_frame_pallas
+
+                return integrate_frame_pallas(
+                    table, depth_int, color_int, intr_int, T_world, tsdf_params, vis, sign
+                )
+            return integrate_frame(
+                table, depth_int, color_int, intr_int, T_world, tsdf_params, vis, sign
+            )
+
+        # ---------------- frame_step ----------------
+        def frame_step(depth_u16, color_u8, local: LocalState, table, submap_base, cur_slot):
+            """One frame: preprocess -> detect -> store -> match/filter ->
+            chain -> integrate. Returns (local', table', T_world, valid,
+            depth_int, color_int_u8).
+
+            Inputs arrive compact (uint16 mm depth / uint8 color — the .sens
+            wire formats) and are decoded on device: the host->device tunnel
+            is bandwidth-limited, so uploading float32 would cost 3.3x more.
+            """
+            depth = jnp.where(
+                depth_u16 > 0, depth_u16.astype(jnp.float32) * 1e-3, jnp.nan
+            )
+            color = color_u8.astype(jnp.float32) * (1.0 / 255.0)
+            d = erode_depth(erode_depth(depth))
+            intensity = rgb_to_intensity(color)
+            intensity_sift = resample_bilinear(intensity, intr_sift.height, intr_sift.width)
+            depth_sift = resample_nearest(d, intr_sift.height, intr_sift.width)
+            depth_int = resample_nearest(d, intr_int.height, intr_int.width)
+            color_int = resample_bilinear(color, intr_int.height, intr_int.width)
+
+            kp = detect_and_describe(intensity_sift, depth_sift, sift_cfg)
+            local = local._replace(
+                keys=store_keypoints(local.keys, cur_slot, kp),
+                cache=store_cache_frame(local.cache, cur_slot, depth_int, color_int, intr_cache),
+            )
+
+            def with_match(loc: LocalState):
+                mf = match_and_filter(
+                    cur_slot, loc.keys, loc.cache, intr_sift, intr_cache, fp_local
+                )
+                corrs = add_to_residuals(
+                    loc.corrs, mf, cur_slot.astype(jnp.int32),
+                    jnp.arange(S, dtype=jnp.int32),
+                )
+                T_chain, found, _ = chained_sift_transform(mf, loc.rel)
+                T_hold = loc.rel[jnp.maximum(cur_slot - 1, 0)]
+                T_rel = jnp.where(found, T_chain, T_hold)
+                return loc._replace(corrs=corrs), T_rel, found
+
+            def without_match(loc: LocalState):
+                return loc, jnp.eye(4, dtype=jnp.float32), jnp.asarray(True)
+
+            local, T_rel, valid = jax.lax.cond(
+                cur_slot > 0, with_match, without_match, local
+            )
+            local = local._replace(
+                rel=local.rel.at[cur_slot].set(T_rel),
+                valid=local.valid.at[cur_slot].set(valid),
+            )
+            T_world = submap_base @ T_rel
+
+            if app.integration_enabled:
+                table = jax.lax.cond(
+                    valid,
+                    lambda t: _integrate_body(t, depth_int, color_int, T_world, 1.0),
+                    lambda t: t,
+                    table,
+                )
+            color_u8 = jnp.clip(color_int * 255.0 + 0.5, 0, 255).astype(jnp.uint8)
+            return local, table, T_world, valid, depth_int, color_u8
+
+        self._frame_step = jax.jit(frame_step, donate_argnums=(2, 3))
+
+        # ---------------- submap_step ----------------
+        def submap_step(local: LocalState, glob: GlobalState, kf_valid, g,
+                        submap_base, last_world):
+            """Submap boundary: local solve -> verify -> fuse keyframe ->
+            global match -> global solve (+ max-residual pruning) -> rollover.
+
+            Returns (fresh_local, glob', kf_valid', submap_ok, matched,
+            overlap_world, local_world)."""
+            init = matrix_to_pose(local.rel)
+            lv = local.valid
+            if bundling.use_local_dense:
+                # sparse + dense depth term, dense weight ramp iter+1
+                # (SBA.cpp:28-38)
+                poses, _ = solve_bundle(
+                    init, lv, local.corrs, local.cache, intr_cache,
+                    local_solver, dtp,
+                )
+            else:
+                poses, _ = solve_sparse(init, lv, local.corrs, local_solver)
+            local_world = pose_to_matrix(poses)
+
+            submap_ok = lv[0] & (jnp.sum(lv.astype(jnp.int32)) >= 2)
+            if bundling.use_local_verify:
+                # solved submap failing dense verification invalidates it
+                # (VerifyTrajectoryCU path, Bundler.cpp:259-273)
+                n_checked, n_failed = _verify_local_pairs(
+                    local_world, lv, local.cache, intr_cache, verify_params
+                )
+                submap_ok = submap_ok & (
+                    (n_checked == 0) | (n_failed <= n_checked // 3)
+                )
+            lv_out = lv & submap_ok
+
+            glob = glob._replace(
+                local_traj=glob.local_traj.at[g].set(local_world),
+                local_valid=glob.local_valid.at[g].set(lv_out),
+            )
+
+            # fuse keyframe from the solved submap (anchor frame 0)
+            fused = fuse_keyframe(
+                local.keys, local_world, 0, intr_sift, glob.keys.keys_per_frame
+            )
+            gk = glob.keys
+            gk = gk._replace(
+                pos=gk.pos.at[g].set(fused["pos"]),
+                scale=gk.scale.at[g].set(fused["scale"]),
+                depth=gk.depth.at[g].set(fused["depth"]),
+                response=gk.response.at[g].set(fused["response"]),
+                valid=gk.valid.at[g].set(fused["valid"]),
+                desc=gk.desc.at[g].set(fused["desc"].astype(jnp.bfloat16)),
+                frame_valid=gk.frame_valid.at[g].set(submap_ok),
+            )
+            glob = glob._replace(
+                keys=gk,
+                cache=copy_cache_frame(glob.cache, g, local.cache, 0),
+                poses=glob.poses.at[g].set(matrix_to_pose(submap_base)),
+            )
+            kf_valid = kf_valid.at[g].set(submap_ok)
+
+            def global_branch(op):
+                glob, kf_valid = op
+                mf = match_and_filter(
+                    g, glob.keys, glob.cache, intr_sift, intr_cache, fp_global
+                )
+                matched = jnp.any(mf["pair_valid"])
+                corrs = jax.lax.cond(
+                    matched,
+                    lambda c: add_to_residuals(
+                        c, mf, g.astype(jnp.int32), jnp.arange(G, dtype=jnp.int32)
+                    ),
+                    lambda c: c,
+                    glob.corrs,
+                )
+                kf_valid = kf_valid.at[g].set(kf_valid[g] & matched)
+                kv = kf_valid & (jnp.arange(G) <= g)
+                sposes, stats = solve_sparse(glob.poses, kv, corrs, global_solver)
+                # residual pruning (SBA::removeMaxResidualCUDA, SBA.cpp:169-204)
+                ci = stats.max_residual_corr
+                fa = corrs.img_i[ci]
+                fb = corrs.img_j[ci]
+                do_prune = (
+                    (stats.max_residual > bundling.opt_max_res_thresh)
+                    & (fa >= 0) & (fb >= 0)
+                )
+
+                def prune(args):
+                    corrs, _ = args
+                    corrs2 = invalidate_image_pair(corrs, fa, fb)
+                    sposes2, _ = solve_sparse(glob.poses, kv, corrs2, global_solver)
+                    return corrs2, sposes2
+
+                corrs, sposes = jax.lax.cond(
+                    do_prune, prune, lambda a: a, (corrs, sposes)
+                )
+                return glob._replace(corrs=corrs, poses=sposes), kf_valid, matched
+
+            def no_global(op):
+                glob, kf_valid = op
+                return glob, kf_valid, jnp.asarray(True)
+
+            glob, kf_valid, matched = jax.lax.cond(
+                g > 0, global_branch, no_global, (glob, kf_valid)
+            )
+
+            # rollover: overlap frame becomes slot 0 of the fresh submap
+            kf_world_g = pose_to_matrix(glob.poses[g])
+            overlap_world = jnp.where(
+                submap_ok, kf_world_g @ local_world[S - 1], last_world
+            )
+            fresh_keys = create_keyframe_store(S, sift_cfg.target_keys)
+            fresh_cache = create_dense_cache(S, intr_cache.height, intr_cache.width)
+            new_local = LocalState(
+                keys=jax.tree.map(
+                    lambda dst, src: dst.at[0].set(src[S - 1]), fresh_keys, local.keys
+                ),
+                cache=jax.tree.map(
+                    lambda dst, src: dst.at[0].set(src[S - 1]), fresh_cache, local.cache
+                ),
+                corrs=create_corr_store(bundling.max_local_corr),
+                rel=jnp.broadcast_to(jnp.eye(4, dtype=jnp.float32), (S, 4, 4)),
+                valid=jnp.zeros((S,), bool).at[0].set(local.valid[S - 1]),
+            )
+            return new_local, glob, kf_valid, submap_ok, matched, overlap_world
+
+        self._submap_step = jax.jit(submap_step, donate_argnums=(0, 1))
+
+        # ---------------- trajectory composition ----------------
+        def compose(gposes, kf_valid, local_traj, local_valid):
+            """complete[k*sub_len + r] = kf_world[k] @ local[k][r]
+            (``updateTrajectoryCU``: invalid -> nan)."""
+            kf_world = pose_to_matrix(gposes)
+            comp = jnp.einsum("kij,ksjl->ksil", kf_world, local_traj[:, :sub_len])
+            ok = kf_valid[:, None] & local_valid[:, :sub_len]
+            comp = jnp.where(ok[..., None, None], comp, jnp.nan)
+            return comp.reshape(G * sub_len, 4, 4), ok.reshape(G * sub_len)
+
+        self._compose = jax.jit(compose)
+
+        # ---------------- batched re-integration ----------------
+        def reintegrate_batch(table, depths, colors_u8, T_old, T_new, op):
+            """ops: 0=skip, 1=de-integrate(T_old), 2=de-int(T_old)+int(T_new),
+            3=integrate(T_new). One lax.scan over the fix budget."""
+
+            def body(tab, x):
+                d, cu8, To, Tn, o = x
+                c = cu8.astype(jnp.float32) * (1.0 / 255.0)
+                tab = jax.lax.cond(
+                    (o == 1) | (o == 2),
+                    lambda t: _integrate_body(t, d, c, To, -1.0),
+                    lambda t: t,
+                    tab,
+                )
+                tab = jax.lax.cond(
+                    (o == 2) | (o == 3),
+                    lambda t: _integrate_body(t, d, c, Tn, 1.0),
+                    lambda t: t,
+                    tab,
+                )
+                return tab, 0
+
+            table, _ = jax.lax.scan(body, table, (depths, colors_u8, T_old, T_new, op))
+            return table
+
+        self._reintegrate_batch = jax.jit(reintegrate_batch, donate_argnums=(0,))
+        self._gc = jax.jit(garbage_collect, donate_argnums=(0,), static_argnums=(1,))
+
+        # standalone de/integrate (used by finish-time drain with >budget ops)
+        def integrate_one(table, depth, color_u8, T, sign):
+            c = color_u8.astype(jnp.float32) * (1.0 / 255.0)
+            return _integrate_body(table, depth, c, T, sign)
+
+        self._integrate_one = jax.jit(
+            integrate_one, donate_argnums=(0,), static_argnums=(4,)
+        )
+
+    # ------------------------------------------------------------------
+    @staticmethod
+    def _to_wire(depth, color):
+        """Host-side compaction to the upload wire format (uint16 mm depth /
+        uint8 color), mirroring the .sens on-disk representation."""
+        depth = np.asarray(depth)
+        color = np.asarray(color)
+        if depth.dtype != np.uint16:
+            d = np.where(np.isfinite(depth), depth, 0.0)
+            depth = np.clip(d * 1000.0 + 0.5, 0, 65535).astype(np.uint16)
+        if color.dtype != np.uint8:
+            color = np.clip(color * 255.0 + 0.5, 0, 255).astype(np.uint8)
+        return depth, color
 
     # ------------------------------------------------------------------
     def process_frame(self, depth, color):
         """Process one input-resolution RGB-D frame.
 
         Args:
-          depth: [H, W] float32 meters (input resolution).
-          color: [H, W, 3] float32 in [0, 1].
+          depth: [H, W] float32 meters (or uint16 mm) at input resolution.
+          color: [H, W, 3] float32 in [0, 1] (or uint8).
 
-        Returns dict: ``pose`` (4x4 np, cam-to-world estimate), ``valid``.
+        Returns dict: ``pose`` (4x4, cam-to-world estimate), ``valid``.
+        The values are device arrays fetched lazily — coerce with
+        ``np.asarray`` / ``bool`` when needed; this keeps the hot loop free
+        of per-frame device round-trips (the engine retires results with a
+        one-frame lag, the analog of the reference's recon/bundling thread
+        handshake).
         """
         f = self.frame_idx
         ft = self.timing.new_frame(f)
         S = self.S
-
-        with self.timing.stage("time_sensor_process", ft):
-            intensity_sift, depth_sift, depth_int, color_int = preprocess_frame(
-                jnp.asarray(depth),
-                jnp.asarray(color),
-                (self.intr_sift.height, self.intr_sift.width),
-                (self.intr_int.height, self.intr_int.width),
-            )
-            self.stored_depth.append(np.asarray(depth_int))
-            self.stored_color.append(np.asarray(color_int))
 
         # submap slot (with one-frame overlap): frame k*(S-1) is slot S-1 of
         # submap k-1 AND slot 0 of submap k
@@ -278,239 +609,122 @@ class BundleFusion:
         is_overlap = f > 0 and slot == 0
         cur_slot = sub_len if is_overlap else slot  # position in current buffer
 
-        with self.timing.stage("time_sift_detection", ft):
-            kp = detect_and_describe(intensity_sift, depth_sift, self.sift_cfg)
-            self.local_keys = store_keypoints(self.local_keys, cur_slot, kp)
-            self.local_cache = store_cache_frame(
-                self.local_cache, cur_slot, depth_int, color_int, self.intr_cache
+        # retire the submap dispatched at the previous boundary (long done by
+        # now) so keyframe bookkeeping is current before this frame's work
+        with self.timing.stage("time_solve", ft):
+            self._retire_submap()
+
+        with self.timing.stage("time_frame_step", ft):
+            depth_u16, color_u8_in = self._to_wire(depth, color)
+            self.local, self.table, T_world_dev, valid_dev, depth_int, color_u8 = (
+                self._frame_step(
+                    jnp.asarray(depth_u16),
+                    jnp.asarray(color_u8_in),
+                    self.local,
+                    self.table,
+                    self.submap_base,
+                    jnp.asarray(cur_slot, jnp.int32),
+                )
+            )
+            # start device->host copies now; consumed at retirement
+            for a in (T_world_dev, valid_dev, depth_int, color_u8):
+                a.copy_to_host_async()
+            self._pending_frames.append(
+                (f, T_world_dev, valid_dev, depth_int, color_u8)
             )
 
-        valid = True
-        T_rel = np.eye(4, dtype=np.float32)
-        if cur_slot > 0:
-            with self.timing.stage("time_sift_matching", ft):
-                mf = match_and_filter(
-                    jnp.asarray(cur_slot),
-                    self.local_keys,
-                    self.local_cache,
-                    self.intr_sift,
-                    self.intr_cache,
-                    self.frontend_local,
-                )
-                self.local_corrs = add_to_residuals(
-                    self.local_corrs,
-                    mf,
-                    jnp.asarray(cur_slot, jnp.int32),
-                    jnp.arange(self.S, dtype=jnp.int32),
-                )
-                T_chain, found, _ = chained_sift_transform(
-                    mf, jnp.asarray(self.local_rel)
-                )
-                valid = bool(found)
-                if valid:
-                    T_rel = np.asarray(T_chain)
-                else:
-                    T_rel = self.local_rel[cur_slot - 1].copy()  # hold last
-        self.local_rel[cur_slot] = T_rel
-        self.local_valid[cur_slot] = valid
+        # ---- submap boundary: dispatch the solve (device-side dependency
+        # only; results retired on a later frame) ----
+        if f > 0 and slot == 0:
+            with self.timing.stage("time_submap_step", ft):
+                self._dispatch_submap(T_world_dev)
 
-        T_world = self.submap_base_world @ T_rel
+        # ---- retire previous frame(s): one-frame lag ----
+        with self.timing.stage("time_sensor_process", ft):
+            while len(self._pending_frames) > 1:
+                self._retire_frame(self._pending_frames.pop(0))
+
+        with self.timing.stage("time_re_integrate", ft):
+            self._reintegrate()
+
+        self.frame_idx += 1
+        return {"pose": T_world_dev, "valid": valid_dev}
+
+    # ------------------------------------------------------------------
+    def _retire_frame(self, rec):
+        """Host bookkeeping for a completed frame (one-frame lag)."""
+        f, T_world_dev, valid_dev, depth_int, color_u8 = rec
+        valid = bool(valid_dev)
+        T_world = np.asarray(T_world_dev).astype(np.float32)
+        self.stored_depth.append(np.asarray(depth_int))
+        self.stored_color_u8.append(np.asarray(color_u8))
         self.frame_valid.append(valid)
         self.sift_world.append(T_world.copy())
         self.complete_traj.append(
             T_world.copy() if valid else np.full((4, 4), np.nan, np.float32)
         )
-
-        # ---- reconstruction ----
-        with self.timing.stage("time_reconstruct", ft):
-            if valid and self.app.integration_enabled:
-                self.table = integrate(
-                    self.table,
-                    depth_int,
-                    color_int,
-                    self.intr_int,
-                    jnp.asarray(T_world),
-                    self.tsdf_params,
-                    cap=self.vis_cap,
-                )
-                self.traj_manager.add_frame(f, T_world)
-            else:
-                self.traj_manager.add_frame(f, None)
-
-        with self.timing.stage("time_re_integrate", ft):
-            self._reintegrate()
-
-        # ---- submap boundary ----
-        if f > 0 and slot == 0:
-            with self.timing.stage("time_solve", ft):
-                self._finish_submap()
-
-        self.frame_idx += 1
-        return {"pose": T_world, "valid": valid}
-
-    # ------------------------------------------------------------------
-    def _finish_submap(self):
-        """Local solve -> keyframe fusion -> global match -> global solve ->
-        trajectory composition (``OnlineBundler::process``)."""
-        S = self.S
-        k = self.num_keyframes  # submap index == keyframe index
-
-        # local solve over the S frames, anchored at slot 0
-        init = jnp.asarray(
-            np.stack([np.asarray(matrix_to_pose(jnp.asarray(t))) for t in self.local_rel])
-        )
-        lv = self.local_valid.copy()
-        if self.bundling.use_local_dense:
-            # sparse + dense depth term, dense weight ramp iter+1 (SBA.cpp:28-38)
-            poses, stats = solve_bundle(
-                init,
-                jnp.asarray(lv),
-                self.local_corrs,
-                self.local_cache,
-                self.intr_cache,
-                self.local_solver,
-                self.dense_term_params,
-            )
+        if valid and self.app.integration_enabled:
+            self.traj_manager.add_frame(f, T_world)
         else:
-            poses, stats = solve_sparse(
-                init, jnp.asarray(lv), self.local_corrs, self.local_solver
-            )
-        local_world = np.asarray(jax.vmap(pose_to_matrix)(poses))
-        submap_ok = bool(lv[0]) and lv.sum() >= 2
-        if submap_ok and self.bundling.use_local_verify:
-            submap_ok = self._verify_local(local_world, lv)
-            if not submap_ok:
-                # solved submap fails dense verification -> invalidate it
-                # (VerifyTrajectoryCU path, Bundler.cpp:259-273)
-                lv[:] = False
-        self.local_trajectories.append(local_world.copy())
-        self.local_frame_valid.append(lv)
-
-        # fuse keyframe from the solved submap (anchor frame 0)
-        fused = fuse_keyframe(
-            self.local_keys,
-            jnp.asarray(local_world),
-            0,
-            self.intr_sift,
-            self.global_keys.keys_per_frame,
-        )
-        g = k
-        self.global_keys = self.global_keys._replace(
-            pos=self.global_keys.pos.at[g].set(fused["pos"]),
-            scale=self.global_keys.scale.at[g].set(fused["scale"]),
-            depth=self.global_keys.depth.at[g].set(fused["depth"]),
-            response=self.global_keys.response.at[g].set(fused["response"]),
-            valid=self.global_keys.valid.at[g].set(fused["valid"]),
-            desc=self.global_keys.desc.at[g].set(fused["desc"].astype(jnp.bfloat16)),
-            frame_valid=self.global_keys.frame_valid.at[g].set(bool(submap_ok)),
-        )
-        self.global_cache = copy_cache_frame(self.global_cache, g, self.local_cache, 0)
-
-        # init keyframe pose from the chained estimate of its frame
-        self.keyframe_poses = self.keyframe_poses.at[g].set(
-            matrix_to_pose(jnp.asarray(self.submap_base_world))
-        )
-        self.keyframe_valid[g] = submap_ok
-
-        # global match + solve
-        if g > 0:
-            mf = match_and_filter(
-                jnp.asarray(g),
-                self.global_keys,
-                self.global_cache,
-                self.intr_sift,
-                self.intr_cache,
-                self.frontend_global,
-            )
-            pair_valid = np.asarray(mf["pair_valid"])
-            if pair_valid.any():
-                self.global_corrs = add_to_residuals(
-                    self.global_corrs,
-                    mf,
-                    jnp.asarray(g, jnp.int32),
-                    jnp.arange(self.G, dtype=jnp.int32),
-                )
-            else:
-                # keyframe not matched: tracking lost for this submap ->
-                # queue for relocalization retries
-                self.keyframe_valid[g] = False
-                self.lost_count += 1
-                self.retry_list.append(g)
-
-            self._try_revalidation()
-
-            kv = self.keyframe_valid.copy()
-            kv[g + 1 :] = False
-            gposes, gstats = solve_sparse(
-                self.keyframe_poses,
-                jnp.asarray(kv),
-                self.global_corrs,
-                self.global_solver,
-            )
-            # residual pruning (SBA::removeMaxResidualCUDA)
-            mr = float(gstats.max_residual)
-            if mr > self.bundling.opt_max_res_thresh:
-                ci = int(gstats.max_residual_corr)
-                fa = int(np.asarray(self.global_corrs.img_i[ci]))
-                fb = int(np.asarray(self.global_corrs.img_j[ci]))
-                if fa >= 0 and fb >= 0:
-                    self.global_corrs = invalidate_image_pair(self.global_corrs, fa, fb)
-                    gposes, gstats = solve_sparse(
-                        self.keyframe_poses,
-                        jnp.asarray(kv),
-                        self.global_corrs,
-                        self.global_solver,
-                    )
-            self.keyframe_poses = gposes
-
-        # ---- compose complete trajectory + schedule re-integration ----
-        self._update_complete_trajectory()
-
-        # ---- roll over to the next submap (overlap frame becomes slot 0) ----
-        kf_world = np.asarray(pose_to_matrix(self.keyframe_poses[g]))
-        overlap_world = (
-            kf_world @ local_world[S - 1] if submap_ok else self.sift_world[-1]
-        )
-        overlap_keys = jax.tree.map(lambda a: a[S - 1], self.local_keys)
-        overlap_cache_frame = jax.tree.map(lambda a: a[S - 1], self.local_cache)
-        overlap_valid = self.local_valid[S - 1]
-        self._reset_local()
-        # copy the overlap frame into slot 0 of the fresh submap
-        self.local_keys = jax.tree.map(
-            lambda store, frame: store.at[0].set(frame), self.local_keys, overlap_keys
-        )
-        self.local_cache = jax.tree.map(
-            lambda store, frame: store.at[0].set(frame), self.local_cache, overlap_cache_frame
-        )
-        self.local_valid[0] = bool(overlap_valid)
-        self.local_rel[0] = np.eye(4, dtype=np.float32)
-        self.submap_base_world = overlap_world.astype(np.float32)
-        self.num_keyframes += 1
+            self.traj_manager.add_frame(f, None)
 
     # ------------------------------------------------------------------
-    def _verify_local(self, local_world: np.ndarray, lv: np.ndarray) -> bool:
-        """Dense-verify the solved submap trajectory over adjacent valid
-        frame pairs (``VerifyTrajectoryCU``/``useVerification`` with the
-        s_verifyOpt* thresholds). Returns False if the aggregate projective
-        error is too high or overlap too low."""
-        vp = dataclasses.replace(
-            self.frontend_local.dense,
-            err_thresh=self.bundling.verify_opt_err_thresh,
-            corr_thresh=self.bundling.verify_opt_corr_thresh,
+    def _flush_pending(self):
+        """Retire everything in flight (end of stream / before evaluation)."""
+        while self._pending_frames:
+            self._retire_frame(self._pending_frames.pop(0))
+        self._retire_submap()
+
+    # ------------------------------------------------------------------
+    def _dispatch_submap(self, last_world_dev):
+        """Dispatch local solve -> keyframe fusion -> global match -> global
+        solve -> rollover (``OnlineBundler::process``); results retired on a
+        later frame."""
+        g = self.num_keyframes  # submap index == keyframe index
+        if g >= self.G:
+            return  # keyframe capacity reached (reference caps s_maxNumImages)
+
+        # relocalization attempt BEFORE the solve so revalidated corrs join
+        # this submap's global solve (tryRevalidation, Bundler.cpp:306-352)
+        self._try_revalidation()
+
+        (
+            self.local,
+            self.glob,
+            kf_valid_dev,
+            submap_ok_dev,
+            matched_dev,
+            overlap_world_dev,
+        ) = self._submap_step(
+            self.local,
+            self.glob,
+            jnp.asarray(self.keyframe_valid),
+            jnp.asarray(g, jnp.int32),
+            self.submap_base,
+            last_world_dev,
         )
-        n_checked, n_failed = _verify_local_pairs(
-            jnp.asarray(local_world.astype(np.float32)),
-            jnp.asarray(lv),
-            self.local_cache.depth,
-            self.local_cache.campos,
-            self.local_cache.normal,
-            self.intr_cache,
-            vp,
-        )
-        n_checked = int(n_checked)
-        if n_checked == 0:
-            return True
-        return int(n_failed) <= n_checked // 3
+        for a in (kf_valid_dev, submap_ok_dev, matched_dev):
+            a.copy_to_host_async()
+        # the next submap's frames chain off the solved overlap pose —
+        # stays on device, no round-trip
+        self.submap_base = overlap_world_dev
+        self.num_keyframes += 1
+        self._pending_submap = (g, kf_valid_dev, submap_ok_dev, matched_dev)
+
+    # ------------------------------------------------------------------
+    def _retire_submap(self):
+        if self._pending_submap is None:
+            return
+        g, kf_valid_dev, submap_ok_dev, matched_dev = self._pending_submap
+        self._pending_submap = None
+        matched = bool(matched_dev)
+        self.keyframe_valid = np.asarray(kf_valid_dev).copy()
+        if g > 0 and not matched:
+            # keyframe not matched: tracking lost for this submap -> queue
+            # for relocalization retries
+            self.lost_count += 1
+            self.retry_list.append(g)
+        self._update_complete_trajectory(n_solved=g + 1)
 
     # ------------------------------------------------------------------
     def _try_revalidation(self):
@@ -526,13 +740,14 @@ class BundleFusion:
             return
         self.retry_attempts[k] = attempts + 1
         # temporarily mark the keyframe's stored features active for matching
-        self.global_keys = self.global_keys._replace(
-            frame_valid=self.global_keys.frame_valid.at[k].set(True)
+        gk = self.glob.keys
+        self.glob = self.glob._replace(
+            keys=gk._replace(frame_valid=gk.frame_valid.at[k].set(True))
         )
         mf = match_and_filter(
             jnp.asarray(k),
-            self.global_keys,
-            self.global_cache,
+            self.glob.keys,
+            self.glob.cache,
             self.intr_sift,
             self.intr_cache,
             self.frontend_global,
@@ -541,117 +756,141 @@ class BundleFusion:
         # only pairs against currently-valid keyframes count
         pair_valid = pair_valid & self.keyframe_valid[: self.G]
         if pair_valid.any():
-            self.global_corrs = add_to_residuals(
-                self.global_corrs,
-                mf,
-                jnp.asarray(k, jnp.int32),
-                jnp.arange(self.G, dtype=jnp.int32),
+            self.glob = self.glob._replace(
+                corrs=add_to_residuals(
+                    self.glob.corrs,
+                    mf,
+                    jnp.asarray(k, jnp.int32),
+                    jnp.arange(self.G, dtype=jnp.int32),
+                )
             )
             self.keyframe_valid[k] = True
         else:
-            self.global_keys = self.global_keys._replace(
-                frame_valid=self.global_keys.frame_valid.at[k].set(False)
+            gk = self.glob.keys
+            self.glob = self.glob._replace(
+                keys=gk._replace(frame_valid=gk.frame_valid.at[k].set(False))
             )
             self.retry_list.append(k)
 
     # ------------------------------------------------------------------
-    def _update_complete_trajectory(self):
+    def _update_complete_trajectory(self, n_solved: Optional[int] = None):
         """complete[f] = keyframe_world[k] @ local[k][r]
-        (``updateTrajectoryCU``: invalid frames -> -inf/nan)."""
-        sub_len = self.S - 1
-        kf_world = np.asarray(jax.vmap(pose_to_matrix)(self.keyframe_poses))
+        (``updateTrajectoryCU``: invalid frames -> -inf/nan).
+
+        Args:
+          n_solved: number of solved submaps; only their frames are
+            overwritten (later frames keep the chained estimate).
+        """
+        if n_solved is None:
+            n_solved = self.num_keyframes
+        comp, ok = self._compose(
+            self.glob.poses,
+            jnp.asarray(self.keyframe_valid),
+            self.glob.local_traj,
+            self.glob.local_valid,
+        )
+        comp = np.asarray(comp)
         n = len(self.complete_traj)
-        for k, (local_world, lv) in enumerate(
-            zip(self.local_trajectories, self.local_frame_valid)
-        ):
-            if not self.keyframe_valid[k]:
-                for r in range(sub_len):
-                    f = k * sub_len + r
-                    if f < n:
-                        self.complete_traj[f] = np.full((4, 4), np.nan, np.float32)
-                continue
-            base = kf_world[k]
-            for r in range(sub_len):
-                f = k * sub_len + r
-                if f >= n:
-                    break
-                if lv[r]:
-                    self.complete_traj[f] = (base @ local_world[r]).astype(np.float32)
-                else:
-                    self.complete_traj[f] = np.full((4, 4), np.nan, np.float32)
+        m = min(n, n_solved * (self.S - 1), comp.shape[0])
+        for f in range(m):
+            self.complete_traj[f] = comp[f]
         poses = np.stack(self.complete_traj) if self.complete_traj else np.zeros((0, 4, 4))
-        valid = np.array([np.isfinite(p).all() for p in self.complete_traj], bool)
+        valid = np.isfinite(poses).all(axis=(1, 2)) if n else np.zeros((0,), bool)
         self.traj_manager.update_optimized_transforms(poses, valid)
 
     # ------------------------------------------------------------------
     def _reintegrate(self):
-        """Consume at most ``max_frame_fixes`` de/re-integration ops
-        (``DepthSensing.cpp: reintegrate()``)."""
+        """Consume at most ``max_frame_fixes`` de/re-integration ops as ONE
+        batched scan (``DepthSensing.cpp: reintegrate():854-902``)."""
         if not self.app.integration_enabled:
             return
         deint, reint, integ = self.traj_manager.generate_update_lists()
+        if not (deint or reint or integ):
+            return
         budget = self.app.max_frame_fixes
+        eye = np.eye(4, dtype=np.float32)
+        rows: List[tuple] = []  # (frame, mode, T_old, T_new)
         ops = 0
+        hit_budget = False
         for f in deint:
             if ops >= budget:
-                return
-            self._deintegrate_frame(f)
-            ops += 1
-        for f in reint:
-            if ops + 2 > budget and ops > 0:
+                hit_budget = True
                 break
             rec = self.traj_manager.records[f]
-            new_T = rec.optimized_transform
-            self._deintegrate_frame(f)
-            self._integrate_frame(f, new_T)
-            ops += 2
-        for f in integ:
-            if ops >= budget:
-                break
-            rec = self.traj_manager.records[f]
-            self._integrate_frame(f, rec.optimized_transform)
+            if rec.integrated_transform is None:
+                continue
+            rows.append((f, 1, rec.integrated_transform, eye))
             ops += 1
-        if self.app.garbage_collection_enabled and ops > 0:
-            self.table = garbage_collect(self.table)
-
-    def _deintegrate_frame(self, f: int):
-        rec = self.traj_manager.records[f]
-        T = rec.integrated_transform
-        if T is None:
+        if not hit_budget:
+            for f in reint:
+                if ops + 2 > budget and ops > 0:
+                    break
+                rec = self.traj_manager.records[f]
+                new_T = rec.optimized_transform
+                has_old = rec.integrated_transform is not None
+                ok_new = new_T is not None and np.isfinite(new_T).all()
+                if has_old and ok_new:
+                    rows.append((f, 2, rec.integrated_transform, new_T))
+                elif has_old:
+                    rows.append((f, 1, rec.integrated_transform, eye))
+                elif ok_new:
+                    rows.append((f, 3, eye, new_T))
+                ops += 2
+            for f in integ:
+                if ops >= budget:
+                    break
+                rec = self.traj_manager.records[f]
+                new_T = rec.optimized_transform
+                if new_T is None or not np.isfinite(new_T).all():
+                    continue
+                rows.append((f, 3, eye, new_T))
+                ops += 1
+        if not rows:
             return
-        self.table = deintegrate(
-            self.table,
-            jnp.asarray(self.stored_depth[f]),
-            jnp.asarray(self.stored_color[f]),
-            self.intr_int,
-            jnp.asarray(T),
-            self.tsdf_params,
-            cap=self.vis_cap,
-        )
-        self.traj_manager.mark_deintegrated(f)
 
-    def _integrate_frame(self, f: int, T: np.ndarray):
-        if T is None or not np.isfinite(T).all():
-            return
-        self.table = integrate(
+        B = budget
+        rows = rows[:B]
+        h, w = self.intr_int.height, self.intr_int.width
+        depths = np.zeros((B, h, w), np.float32)
+        colors = np.zeros((B, h, w, 3), np.uint8)
+        T_old = np.tile(eye, (B, 1, 1))
+        T_new = np.tile(eye, (B, 1, 1))
+        op = np.zeros((B,), np.int32)
+        for i, (f, mode, To, Tn) in enumerate(rows):
+            depths[i] = self.stored_depth[f]
+            colors[i] = self.stored_color_u8[f]
+            T_old[i] = To
+            T_new[i] = Tn
+            op[i] = mode
+        self.table = self._reintegrate_batch(
             self.table,
-            jnp.asarray(self.stored_depth[f]),
-            jnp.asarray(self.stored_color[f]),
-            self.intr_int,
-            jnp.asarray(T),
-            self.tsdf_params,
-            cap=self.vis_cap,
+            jnp.asarray(depths),
+            jnp.asarray(colors),
+            jnp.asarray(T_old),
+            jnp.asarray(T_new),
+            jnp.asarray(op),
         )
-        self.traj_manager.mark_integrated(f, T)
+        for f, mode, To, Tn in rows:
+            if mode == 1:
+                self.traj_manager.mark_deintegrated(f)
+            elif mode == 2:
+                self.traj_manager.mark_deintegrated(f)
+                self.traj_manager.mark_integrated(f, Tn)
+            elif mode == 3:
+                self.traj_manager.mark_integrated(f, Tn)
+        if self.app.garbage_collection_enabled:
+            self.table = self._gc(self.table)
 
     # ------------------------------------------------------------------
     def finish(self, extra_solves: Optional[int] = None):
         """End-of-sequence: solve the trailing partial submap, run extra
         global solves + drain re-integration (``numSolveFramesBeforeExit``)."""
+        self._flush_pending()
         sub_len = self.S - 1
         if self.frame_idx % sub_len != 1 and self.frame_idx > 0:
             # trailing partial submap: pad state is already sized; solve it
-            self._finish_submap()
+            self._dispatch_submap(jnp.asarray(self.sift_world[-1]))
+            self._retire_submap()
         n_extra = (
             extra_solves
             if extra_solves is not None
@@ -664,11 +903,11 @@ class BundleFusion:
                 if self.bundling.use_global_dense_at_end and it == n_extra - 1:
                     # final pass with dense depth weight 15
                     # (USE_GLOBAL_DENSE_AT_END, OnlineBundler.cpp:177-189)
-                    self.keyframe_poses, _ = solve_bundle(
-                        self.keyframe_poses,
+                    gposes, _ = solve_bundle(
+                        self.glob.poses,
                         jnp.asarray(kv),
-                        self.global_corrs,
-                        self.global_cache,
+                        self.glob.corrs,
+                        self.glob.cache,
                         self.intr_cache,
                         self.global_solver,
                         self.dense_term_params,
@@ -677,12 +916,13 @@ class BundleFusion:
                         ),
                     )
                 else:
-                    self.keyframe_poses, _ = solve_sparse(
-                        self.keyframe_poses,
+                    gposes, _ = solve_sparse(
+                        self.glob.poses,
                         jnp.asarray(kv),
-                        self.global_corrs,
+                        self.glob.corrs,
                         self.global_solver,
                     )
+                self.glob = self.glob._replace(poses=gposes)
             self._update_complete_trajectory()
             for _ in range(10):
                 before = self.traj_manager.generate_update_lists()

@@ -35,6 +35,9 @@ class FrameTiming:
     time_re_integrate: float = 0.0
     time_reconstruct: float = 0.0
     time_visualize: float = 0.0
+    # fused-program stages (TPU engine: one dispatch per phase)
+    time_frame_step: float = 0.0
+    time_submap_step: float = 0.0
 
 
 class TimingLog:
