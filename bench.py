@@ -38,7 +38,7 @@ def main():
 
     if on_tpu:
         # reference operating point
-        n_frames = 60
+        n_frames = 72
         intr = default_intrinsics(640, 480)
         app = AppConfig(
             hash_num_sdf_blocks=131072,
@@ -55,7 +55,10 @@ def main():
             depth_min=app.sensor_depth_min, depth_max=app.sensor_depth_max,
         )
         max_keyframes = 64
-        warmup_frames = 12
+        # warmup must reach past the first global solve + re-integration
+        # (first triggered around frame 19) so every program is compiled
+        # before the timed window
+        warmup_frames = 24
     else:
         # CPU smoke config (2-core CI box)
         n_frames = 13

@@ -89,6 +89,61 @@ def copy_cache_frame(dst: DenseCache, dst_slot, src: DenseCache, src_slot) -> De
     )
 
 
+class FrameStore(NamedTuple):
+    """Device-resident integration-resolution frame archive.
+
+    The reference keeps every processed frame on the CPU for later
+    re-integration (``ManagedRGBDInputFrame``, CUDAImageManager.h:13-138)
+    and re-uploads on demand. On TPU the device<->host link is the scarce
+    resource (high-latency tunnel / PCIe), so frames stay in HBM in their
+    compact wire encoding (uint16 mm depth + uint8 color, the .sens on-disk
+    representation: 375 KB/frame at 320x240) and re-integration gathers them
+    by index without any transfer. The last slot is a scratch slot for
+    frames beyond capacity (they simply become non-re-integrable, like
+    streamed-out frames in the reference's chunk grid).
+    """
+
+    depth_mm: jax.Array  # [F+1, h, w] uint16 (0 = invalid)
+    color: jax.Array     # [F+1, h, w, 3] uint8
+
+    @property
+    def capacity(self) -> int:
+        """Number of addressable (re-integrable) frames."""
+        return self.depth_mm.shape[0] - 1
+
+
+def create_frame_store(capacity: int, h: int, w: int) -> FrameStore:
+    return FrameStore(
+        depth_mm=jnp.zeros((capacity + 1, h, w), jnp.uint16),
+        color=jnp.zeros((capacity + 1, h, w, 3), jnp.uint8),
+    )
+
+
+def encode_frame(depth, color):
+    """float32 (meters, [0,1] rgb) -> wire encoding (uint16 mm, uint8)."""
+    d_mm = jnp.where(
+        jnp.isfinite(depth), jnp.clip(depth * 1000.0 + 0.5, 0, 65535), 0.0
+    ).astype(jnp.uint16)
+    c_u8 = jnp.clip(color * 255.0 + 0.5, 0, 255).astype(jnp.uint8)
+    return d_mm, c_u8
+
+
+def decode_frame(d_mm, c_u8):
+    """Exact inverse of :func:`encode_frame` for mm-quantized depth — the
+    TSDF de-integration path must subtract bitwise-identical values."""
+    depth = jnp.where(d_mm > 0, d_mm.astype(jnp.float32) * 1e-3, jnp.nan)
+    color = c_u8.astype(jnp.float32) * (1.0 / 255.0)
+    return depth, color
+
+
+def store_frame(store: FrameStore, slot, depth, color) -> FrameStore:
+    d_mm, c_u8 = encode_frame(depth, color)
+    return FrameStore(
+        depth_mm=store.depth_mm.at[slot].set(d_mm),
+        color=store.color.at[slot].set(c_u8),
+    )
+
+
 class KeyframeStore(NamedTuple):
     """Fixed-capacity keypoint/descriptor store over frames
     (SIFTImageManager's per-image arrays, structure-of-arrays form)."""

@@ -36,9 +36,20 @@ state:
 - ``reintegrate_batch`` — the whole ≤10-op de/re-integration budget as one
   ``lax.scan``, one dispatch per frame (skipped when idle).
 
-Host code only routes pytrees, keeps the scheduling state the reference also
-keeps on CPU (TrajectoryManager, retry list), and reads back a few scalars
-per frame.
+Host code only routes pytrees and keeps the scheduling state the reference
+also keeps on CPU (TrajectoryManager, retry list).
+
+Transfer design: the device<->host link (runtime tunnel / PCIe) has both
+high per-transfer latency (~30 ms measured through the tunnel) and limited
+bandwidth, so the hot loop performs ZERO device->host transfers:
+
+- processed frames stay in HBM (``FrameStore``; the reference round-trips
+  every frame through CPU RAM) and re-integration gathers them by index;
+- everything the host scheduler needs (chained poses, validity, keyframe
+  state, the composed optimized trajectory) is packed into ONE flat float32
+  buffer by ``submap_step``, copied back asynchronously, and consumed
+  lazily (``is_ready``) or at the next submap boundary — one transfer per
+  ``submap_size`` frames, overlapped with a full submap of compute.
 """
 
 from __future__ import annotations
@@ -59,10 +70,14 @@ from bundlefusion_tpu.ops.image import erode_depth, resample_bilinear, resample_
 from bundlefusion_tpu.ops.sift import SiftConfig, detect_and_describe
 from bundlefusion_tpu.pipeline.frames import (
     DenseCache,
+    FrameStore,
     KeyframeStore,
     copy_cache_frame,
     create_dense_cache,
+    create_frame_store,
     create_keyframe_store,
+    decode_frame,
+    encode_frame,
     store_cache_frame,
     store_keypoints,
 )
@@ -256,15 +271,28 @@ class BundleFusion:
         self.keyframe_valid = np.zeros(self.G, bool)
         self.num_keyframes = 0
 
+        # device-resident frame archive for re-integration (no host copy)
+        sub_len = self.S - 1
+        self.frame_cap = min(app.max_frames, self.G * sub_len + self.S)
+        self.store = create_frame_store(
+            self.frame_cap, self.intr_int.height, self.intr_int.width
+        )
+
+        # packed per-submap readback layout (see _build_programs)
+        NF = self.G * sub_len
+        self._off_lv = self.S * 16
+        self._off_kf = self.S * 17
+        self._off_flags = self.S * 17 + self.G
+        self._off_comp = self._off_flags + 2
+        self._off_ok = self._off_comp + NF * 16
+
         self.frame_idx = 0
         self.frame_valid: List[bool] = []
         self.sift_world: List[np.ndarray] = []     # per-frame chained estimate
         self.complete_traj: List[np.ndarray] = []  # per-frame optimized 4x4 (nan invalid)
+        self._recorded_upto = 0                    # host bookkeeping high-water mark
         # device-resident current-submap anchor pose (never round-trips)
         self.submap_base = jnp.eye(4, dtype=jnp.float32)
-        # in-flight results, retired with a one-frame lag to keep the host
-        # loop free of device syncs
-        self._pending_frames: List[tuple] = []
         self._pending_submap: Optional[tuple] = None
 
         self.traj_manager = TrajectoryManager(app.top_n_active, app.min_pose_dist_sqrt)
@@ -273,11 +301,6 @@ class BundleFusion:
         self.retry_list: List[int] = []
         self.retry_attempts: dict = {}
         self.max_retry_attempts = 10
-        # host copies of integration-res frames for re-integration (the
-        # reference's ManagedRGBDInputFrame store is also CPU-resident by
-        # default, CUDAImageManager.h:13-138)
-        self.stored_depth: List[np.ndarray] = []
-        self.stored_color_u8: List[np.ndarray] = []
         self.timing = TimingLog()
         self.lost_count = 0
 
@@ -316,25 +339,33 @@ class BundleFusion:
             corr_thresh=bundling.verify_opt_corr_thresh,
         )
 
-        def _integrate_body(table, depth_int, color_int, T_world, sign):
-            if sign > 0:
-                table = allocate_for_frame(table, depth_int, intr_int, T_world, tsdf_params)
-            vis, _ = visible_block_indices(table, intr_int, T_world, tsdf_params, cap)
+        def _integrate_body(table, depth_int, color_int, T_world, sign, alloc_enable=None):
+            """sign is a TRACED scalar: +1 fuse, -1 un-fuse, 0 exact no-op.
+            Gating by validity/op happens through sign (and alloc_enable) —
+            never via lax.cond over the table, which would copy the
+            multi-GB voxel payload."""
+            if alloc_enable is not None:
+                table = allocate_for_frame(
+                    table, depth_int, intr_int, T_world, tsdf_params, enabled=alloc_enable
+                )
+            vis, vis_count = visible_block_indices(table, intr_int, T_world, tsdf_params, cap)
             if use_pallas:
                 from bundlefusion_tpu.tsdf.integrate_pallas import integrate_frame_pallas
 
                 return integrate_frame_pallas(
-                    table, depth_int, color_int, intr_int, T_world, tsdf_params, vis, sign
+                    table, depth_int, color_int, intr_int, T_world, tsdf_params, vis,
+                    sign, count=vis_count,
                 )
             return integrate_frame(
                 table, depth_int, color_int, intr_int, T_world, tsdf_params, vis, sign
             )
 
         # ---------------- frame_step ----------------
-        def frame_step(depth_u16, color_u8, local: LocalState, table, submap_base, cur_slot):
-            """One frame: preprocess -> detect -> store -> match/filter ->
-            chain -> integrate. Returns (local', table', T_world, valid,
-            depth_int, color_int_u8).
+        def frame_step(depth_u16, color_u8, local: LocalState, table, store: FrameStore,
+                       submap_base, cur_slot, store_slot):
+            """One frame: preprocess -> detect -> archive -> match/filter ->
+            chain -> integrate. Returns (local', table', store', T_world,
+            valid). Nothing bulk ever leaves the device.
 
             Inputs arrive compact (uint16 mm depth / uint8 color — the .sens
             wire formats) and are decoded on device: the host->device tunnel
@@ -350,6 +381,16 @@ class BundleFusion:
             depth_sift = resample_nearest(d, intr_sift.height, intr_sift.width)
             depth_int = resample_nearest(d, intr_int.height, intr_int.width)
             color_int = resample_bilinear(color, intr_int.height, intr_int.width)
+            # archive at integration res; integrate the DECODED values so a
+            # later de-integration subtracts bitwise-identical contributions
+            # (erode/nearest-resample preserve the mm quantization, so the
+            # depth round-trip is exact)
+            d_mm, c_u8 = encode_frame(depth_int, color_int)
+            store = FrameStore(
+                depth_mm=store.depth_mm.at[store_slot].set(d_mm),
+                color=store.color.at[store_slot].set(c_u8),
+            )
+            depth_int, color_int = decode_frame(d_mm, c_u8)
 
             kp = detect_and_describe(intensity_sift, depth_sift, sift_cfg)
             local = local._replace(
@@ -383,16 +424,13 @@ class BundleFusion:
             T_world = submap_base @ T_rel
 
             if app.integration_enabled:
-                table = jax.lax.cond(
-                    valid,
-                    lambda t: _integrate_body(t, depth_int, color_int, T_world, 1.0),
-                    lambda t: t,
-                    table,
+                table = _integrate_body(
+                    table, depth_int, color_int, T_world,
+                    valid.astype(jnp.float32), alloc_enable=valid,
                 )
-            color_u8 = jnp.clip(color_int * 255.0 + 0.5, 0, 255).astype(jnp.uint8)
-            return local, table, T_world, valid, depth_int, color_u8
+            return local, table, store, T_world, valid
 
-        self._frame_step = jax.jit(frame_step, donate_argnums=(2, 3))
+        self._frame_step = jax.jit(frame_step, donate_argnums=(2, 3, 4))
 
         # ---------------- submap_step ----------------
         def submap_step(local: LocalState, glob: GlobalState, kf_valid, g,
@@ -400,8 +438,12 @@ class BundleFusion:
             """Submap boundary: local solve -> verify -> fuse keyframe ->
             global match -> global solve (+ max-residual pruning) -> rollover.
 
-            Returns (fresh_local, glob', kf_valid', submap_ok, matched,
-            overlap_world, local_world)."""
+            Returns (fresh_local, glob', kf_valid', overlap_world, pack)
+            where ``pack`` is the flat float32 host-readback buffer
+            [chained world S*16 | frame valid S | kf_valid G | submap_ok,
+            matched | composed trajectory G*sub_len*16 | composed valid
+            G*sub_len] — everything the host scheduler consumes, fetched in
+            ONE transfer per submap."""
             init = matrix_to_pose(local.rel)
             lv = local.valid
             if bundling.use_local_dense:
@@ -516,7 +558,21 @@ class BundleFusion:
                 rel=jnp.broadcast_to(jnp.eye(4, dtype=jnp.float32), (S, 4, 4)),
                 valid=jnp.zeros((S,), bool).at[0].set(local.valid[S - 1]),
             )
-            return new_local, glob, kf_valid, submap_ok, matched, overlap_world
+
+            # ---- packed host readback (one flat transfer per submap) ----
+            world_chained = jnp.einsum("ij,sjk->sik", submap_base, local.rel)
+            comp, comp_ok = compose(glob.poses, kf_valid, glob.local_traj, glob.local_valid)
+            pack = jnp.concatenate([
+                world_chained.reshape(-1),
+                lv.astype(jnp.float32),
+                kf_valid.astype(jnp.float32),
+                jnp.stack([
+                    submap_ok.astype(jnp.float32), matched.astype(jnp.float32)
+                ]),
+                comp.reshape(-1),
+                comp_ok.astype(jnp.float32),
+            ])
+            return new_local, glob, kf_valid, overlap_world, pack
 
         self._submap_step = jax.jit(submap_step, donate_argnums=(0, 1))
 
@@ -530,44 +586,37 @@ class BundleFusion:
             comp = jnp.where(ok[..., None, None], comp, jnp.nan)
             return comp.reshape(G * sub_len, 4, 4), ok.reshape(G * sub_len)
 
-        self._compose = jax.jit(compose)
-
-        # ---------------- batched re-integration ----------------
-        def reintegrate_batch(table, depths, colors_u8, T_old, T_new, op):
-            """ops: 0=skip, 1=de-integrate(T_old), 2=de-int(T_old)+int(T_new),
-            3=integrate(T_new). One lax.scan over the fix budget."""
-
-            def body(tab, x):
-                d, cu8, To, Tn, o = x
-                c = cu8.astype(jnp.float32) * (1.0 / 255.0)
-                tab = jax.lax.cond(
-                    (o == 1) | (o == 2),
-                    lambda t: _integrate_body(t, d, c, To, -1.0),
-                    lambda t: t,
-                    tab,
-                )
-                tab = jax.lax.cond(
-                    (o == 2) | (o == 3),
-                    lambda t: _integrate_body(t, d, c, Tn, 1.0),
-                    lambda t: t,
-                    tab,
-                )
-                return tab, 0
-
-            table, _ = jax.lax.scan(body, table, (depths, colors_u8, T_old, T_new, op))
-            return table
-
-        self._reintegrate_batch = jax.jit(reintegrate_batch, donate_argnums=(0,))
-        self._gc = jax.jit(garbage_collect, donate_argnums=(0,), static_argnums=(1,))
-
-        # standalone de/integrate (used by finish-time drain with >budget ops)
-        def integrate_one(table, depth, color_u8, T, sign):
-            c = color_u8.astype(jnp.float32) * (1.0 / 255.0)
-            return _integrate_body(table, depth, c, T, sign)
-
-        self._integrate_one = jax.jit(
-            integrate_one, donate_argnums=(0,), static_argnums=(4,)
+        self._compose = jax.jit(
+            lambda *a: (lambda c, o: (c.reshape(-1), o))(*compose(*a))
         )
+
+        # tail pack for the trailing partial submap at finish():
+        # [chained world S*16 | frame valid S]
+        def pack_tail(local: LocalState, submap_base):
+            world = jnp.einsum("ij,sjk->sik", submap_base, local.rel)
+            return jnp.concatenate(
+                [world.reshape(-1), local.valid.astype(jnp.float32)]
+            )
+
+        self._pack_tail = jax.jit(pack_tail)
+
+        # ---------------- re-integration (one row per dispatch) ----------------
+        def reintegrate_row(table, store: FrameStore, fi, T_old, T_new, op):
+            """op: 1=de-integrate(T_old), 2=de-int(T_old)+int(T_new),
+            3=integrate(T_new). The frame is gathered from the device-
+            resident store — no transfers. One compile; the host dispatches
+            exactly as many rows as the scheduler produced (async, so the
+            dispatches pipeline on device)."""
+            d, c = decode_frame(store.depth_mm[fi], store.color[fi])
+            de_en = ((op == 1) | (op == 2)).astype(jnp.float32)
+            re_en = (op == 2) | (op == 3)
+            table = _integrate_body(table, d, c, T_old, -de_en)
+            return _integrate_body(
+                table, d, c, T_new, re_en.astype(jnp.float32), alloc_enable=re_en
+            )
+
+        self._reintegrate_row = jax.jit(reintegrate_row, donate_argnums=(0,))
+        self._gc = jax.jit(garbage_collect, donate_argnums=(0,), static_argnums=(1,))
 
     # ------------------------------------------------------------------
     @staticmethod
@@ -606,43 +655,35 @@ class BundleFusion:
         # submap k-1 AND slot 0 of submap k
         sub_len = S - 1
         slot = f % sub_len
-        is_overlap = f > 0 and slot == 0
-        cur_slot = sub_len if is_overlap else slot  # position in current buffer
+        is_boundary = f > 0 and slot == 0
+        cur_slot = sub_len if is_boundary else slot  # position in current buffer
 
-        # retire the submap dispatched at the previous boundary (long done by
-        # now) so keyframe bookkeeping is current before this frame's work
+        # retire the submap dispatched at the previous boundary: forced at a
+        # boundary (its keyframe state feeds the next dispatch), otherwise
+        # only if the async readback already landed
         with self.timing.stage("time_solve", ft):
-            self._retire_submap()
+            self._retire_submap(force=is_boundary)
 
         with self.timing.stage("time_frame_step", ft):
             depth_u16, color_u8_in = self._to_wire(depth, color)
-            self.local, self.table, T_world_dev, valid_dev, depth_int, color_u8 = (
+            self.local, self.table, self.store, T_world_dev, valid_dev = (
                 self._frame_step(
                     jnp.asarray(depth_u16),
                     jnp.asarray(color_u8_in),
                     self.local,
                     self.table,
+                    self.store,
                     self.submap_base,
                     jnp.asarray(cur_slot, jnp.int32),
+                    jnp.asarray(self._store_slot(f), jnp.int32),
                 )
-            )
-            # start device->host copies now; consumed at retirement
-            for a in (T_world_dev, valid_dev, depth_int, color_u8):
-                a.copy_to_host_async()
-            self._pending_frames.append(
-                (f, T_world_dev, valid_dev, depth_int, color_u8)
             )
 
         # ---- submap boundary: dispatch the solve (device-side dependency
         # only; results retired on a later frame) ----
-        if f > 0 and slot == 0:
+        if is_boundary:
             with self.timing.stage("time_submap_step", ft):
                 self._dispatch_submap(T_world_dev)
-
-        # ---- retire previous frame(s): one-frame lag ----
-        with self.timing.stage("time_sensor_process", ft):
-            while len(self._pending_frames) > 1:
-                self._retire_frame(self._pending_frames.pop(0))
 
         with self.timing.stage("time_re_integrate", ft):
             self._reintegrate()
@@ -651,13 +692,16 @@ class BundleFusion:
         return {"pose": T_world_dev, "valid": valid_dev}
 
     # ------------------------------------------------------------------
-    def _retire_frame(self, rec):
-        """Host bookkeeping for a completed frame (one-frame lag)."""
-        f, T_world_dev, valid_dev, depth_int, color_u8 = rec
-        valid = bool(valid_dev)
-        T_world = np.asarray(T_world_dev).astype(np.float32)
-        self.stored_depth.append(np.asarray(depth_int))
-        self.stored_color_u8.append(np.asarray(color_u8))
+    def _store_slot(self, f: int) -> int:
+        """Frame archive slot: frames beyond capacity land in the scratch
+        slot (they become non-re-integrable, like streamed-out blocks)."""
+        return f if f < self.frame_cap else self.frame_cap
+
+    # ------------------------------------------------------------------
+    def _record_frame(self, f: int, T_world: np.ndarray, valid: bool):
+        """Host bookkeeping for one frame (from a submap readback pack)."""
+        assert f == len(self.frame_valid)
+        T_world = np.asarray(T_world, np.float32)
         self.frame_valid.append(valid)
         self.sift_world.append(T_world.copy())
         self.complete_traj.append(
@@ -671,9 +715,18 @@ class BundleFusion:
     # ------------------------------------------------------------------
     def _flush_pending(self):
         """Retire everything in flight (end of stream / before evaluation)."""
-        while self._pending_frames:
-            self._retire_frame(self._pending_frames.pop(0))
-        self._retire_submap()
+        self._retire_submap(force=True)
+        if self._recorded_upto < self.frame_idx:
+            # trailing frames of the current (partial) submap
+            S = self.S
+            tail = np.asarray(self._pack_tail(self.local, self.submap_base))
+            world = tail[: S * 16].reshape(S, 4, 4)
+            lv = tail[S * 16:] > 0.5
+            base = self.num_keyframes * (S - 1)
+            for f in range(self._recorded_upto, self.frame_idx):
+                s = f - base
+                self._record_frame(f, world[s], bool(lv[s]))
+            self._recorded_upto = self.frame_idx
 
     # ------------------------------------------------------------------
     def _dispatch_submap(self, last_world_dev):
@@ -691,10 +744,9 @@ class BundleFusion:
         (
             self.local,
             self.glob,
-            kf_valid_dev,
-            submap_ok_dev,
-            matched_dev,
+            _kf_valid_dev,
             overlap_world_dev,
+            pack_dev,
         ) = self._submap_step(
             self.local,
             self.glob,
@@ -703,28 +755,57 @@ class BundleFusion:
             self.submap_base,
             last_world_dev,
         )
-        for a in (kf_valid_dev, submap_ok_dev, matched_dev):
-            a.copy_to_host_async()
+        pack_dev.copy_to_host_async()
         # the next submap's frames chain off the solved overlap pose —
         # stays on device, no round-trip
         self.submap_base = overlap_world_dev
         self.num_keyframes += 1
-        self._pending_submap = (g, kf_valid_dev, submap_ok_dev, matched_dev)
+        self._pending_submap = (g, pack_dev)
 
     # ------------------------------------------------------------------
-    def _retire_submap(self):
+    def _retire_submap(self, force: bool = True):
+        """Consume the packed readback of a dispatched submap: per-frame
+        host bookkeeping, keyframe validity, lost-keyframe retry queue, and
+        the optimized complete trajectory — all from ONE flat transfer."""
         if self._pending_submap is None:
             return
-        g, kf_valid_dev, submap_ok_dev, matched_dev = self._pending_submap
+        g, pack_dev = self._pending_submap
+        if not force and not pack_dev.is_ready():
+            return
         self._pending_submap = None
-        matched = bool(matched_dev)
-        self.keyframe_valid = np.asarray(kf_valid_dev).copy()
+        pack = np.asarray(pack_dev)
+        S = self.S
+        sub_len = S - 1
+
+        world = pack[: self._off_lv].reshape(S, 4, 4)
+        lv = pack[self._off_lv : self._off_kf] > 0.5
+        self.keyframe_valid = pack[self._off_kf : self._off_flags] > 0.5
+        matched = pack[self._off_flags + 1] > 0.5
+        comp = pack[self._off_comp : self._off_ok].reshape(-1, 4, 4)
+        comp_ok = pack[self._off_ok :] > 0.5
+
+        # per-frame bookkeeping for the frames this submap covers
+        base = g * sub_len
+        last = min(base + sub_len, self.frame_idx - 1)
+        for f in range(self._recorded_upto, last + 1):
+            s = f - base
+            self._record_frame(f, world[s], bool(lv[s]))
+        self._recorded_upto = max(self._recorded_upto, last + 1)
+
         if g > 0 and not matched:
             # keyframe not matched: tracking lost for this submap -> queue
             # for relocalization retries
             self.lost_count += 1
             self.retry_list.append(g)
-        self._update_complete_trajectory(n_solved=g + 1)
+
+        # optimized trajectory for all solved submaps (invalid -> nan)
+        m = min(len(self.complete_traj), (g + 1) * sub_len, comp.shape[0])
+        nanT = np.full((4, 4), np.nan, np.float32)
+        for i in range(m):
+            self.complete_traj[i] = (
+                comp[i].astype(np.float32) if comp_ok[i] else nanT
+            )
+        self._push_optimized_to_manager()
 
     # ------------------------------------------------------------------
     def _try_revalidation(self):
@@ -773,9 +854,20 @@ class BundleFusion:
             self.retry_list.append(k)
 
     # ------------------------------------------------------------------
+    def _push_optimized_to_manager(self):
+        """Feed the current complete trajectory to the re-integration
+        scheduler (``TrajectoryManager::updateOptimizedTransform``)."""
+        n = len(self.complete_traj)
+        poses = np.stack(self.complete_traj) if n else np.zeros((0, 4, 4))
+        valid = np.isfinite(poses).all(axis=(1, 2)) if n else np.zeros((0,), bool)
+        self.traj_manager.update_optimized_transforms(poses, valid)
+
+    # ------------------------------------------------------------------
     def _update_complete_trajectory(self, n_solved: Optional[int] = None):
         """complete[f] = keyframe_world[k] @ local[k][r]
-        (``updateTrajectoryCU``: invalid frames -> -inf/nan).
+        (``updateTrajectoryCU``: invalid frames -> -inf/nan). Synchronous
+        (one transfer) — used at finish() after extra solves; the hot loop
+        gets this from the submap readback pack instead.
 
         Args:
           n_solved: number of solved submaps; only their frames are
@@ -783,20 +875,20 @@ class BundleFusion:
         """
         if n_solved is None:
             n_solved = self.num_keyframes
-        comp, ok = self._compose(
+        comp_flat, ok = self._compose(
             self.glob.poses,
             jnp.asarray(self.keyframe_valid),
             self.glob.local_traj,
             self.glob.local_valid,
         )
-        comp = np.asarray(comp)
+        comp = np.asarray(comp_flat).reshape(-1, 4, 4)
+        ok = np.asarray(ok)
         n = len(self.complete_traj)
         m = min(n, n_solved * (self.S - 1), comp.shape[0])
+        nanT = np.full((4, 4), np.nan, np.float32)
         for f in range(m):
-            self.complete_traj[f] = comp[f]
-        poses = np.stack(self.complete_traj) if self.complete_traj else np.zeros((0, 4, 4))
-        valid = np.isfinite(poses).all(axis=(1, 2)) if n else np.zeros((0,), bool)
-        self.traj_manager.update_optimized_transforms(poses, valid)
+            self.complete_traj[f] = comp[f] if ok[f] else nanT
+        self._push_optimized_to_manager()
 
     # ------------------------------------------------------------------
     def _reintegrate(self):
@@ -809,6 +901,16 @@ class BundleFusion:
             return
         budget = self.app.max_frame_fixes
         eye = np.eye(4, dtype=np.float32)
+        # frames evicted from the device archive cannot be re-integrated;
+        # mark them handled so the scheduler stops re-ranking them
+        for lst in (deint, reint, integ):
+            for f in [x for x in lst if x >= self.frame_cap]:
+                rec = self.traj_manager.records[f]
+                if rec.optimized_transform is not None:
+                    self.traj_manager.mark_integrated(f, rec.optimized_transform)
+        deint = [f for f in deint if f < self.frame_cap]
+        reint = [f for f in reint if f < self.frame_cap]
+        integ = [f for f in integ if f < self.frame_cap]
         rows: List[tuple] = []  # (frame, mode, T_old, T_new)
         ops = 0
         hit_budget = False
@@ -848,28 +950,16 @@ class BundleFusion:
         if not rows:
             return
 
-        B = budget
-        rows = rows[:B]
-        h, w = self.intr_int.height, self.intr_int.width
-        depths = np.zeros((B, h, w), np.float32)
-        colors = np.zeros((B, h, w, 3), np.uint8)
-        T_old = np.tile(eye, (B, 1, 1))
-        T_new = np.tile(eye, (B, 1, 1))
-        op = np.zeros((B,), np.int32)
-        for i, (f, mode, To, Tn) in enumerate(rows):
-            depths[i] = self.stored_depth[f]
-            colors[i] = self.stored_color_u8[f]
-            T_old[i] = To
-            T_new[i] = Tn
-            op[i] = mode
-        self.table = self._reintegrate_batch(
-            self.table,
-            jnp.asarray(depths),
-            jnp.asarray(colors),
-            jnp.asarray(T_old),
-            jnp.asarray(T_new),
-            jnp.asarray(op),
-        )
+        rows = rows[: self.app.max_frame_fixes]
+        for f, mode, To, Tn in rows:
+            self.table = self._reintegrate_row(
+                self.table,
+                self.store,
+                jnp.asarray(f, jnp.int32),
+                jnp.asarray(To),
+                jnp.asarray(Tn),
+                jnp.asarray(mode, jnp.int32),
+            )
         for f, mode, To, Tn in rows:
             if mode == 1:
                 self.traj_manager.mark_deintegrated(f)

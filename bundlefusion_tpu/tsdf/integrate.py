@@ -115,8 +115,14 @@ def allocate_for_frame(
     intr: CameraIntrinsics,
     cam_to_world,
     params: TsdfParams,
+    enabled=None,
 ) -> VoxelBlockTable:
+    """Allocate blocks for a frame; ``enabled`` (traced bool) gates the whole
+    allocation without routing the table through a lax.cond (which would
+    copy the multi-GB payload)."""
     coords, valid = candidate_blocks(depth, intr, cam_to_world, params)
+    if enabled is not None:
+        valid = valid & enabled
     return allocate(table, coords, valid)
 
 
@@ -244,9 +250,17 @@ def integrate_frame(
 
     new_w = jnp.clip(old_w + w_new, 0.0, params.integration_weight_max)
     applied_w = new_w - old_w  # actual delta after clamping
-    # store weighted sums: sdf stored as mean, so convert via weights
+    # store weighted sums: sdf stored as mean, so convert via weights.
+    # Untouched voxels (applied == 0) keep their sdf BITWISE — the mean
+    # round-trip old*w/w would otherwise perturb every visible voxel per
+    # pass (and sign=0 must be an exact no-op, it implements the
+    # "tracking-invalid / op-disabled" gating without a table-copying cond).
     sum_sdf = old_sdf * old_w + jnp.where(upd, sdf_cl, 0.0) * applied_w
-    new_sdf = jnp.where(new_w > 0, sum_sdf / jnp.maximum(new_w, 1e-12), 0.0)
+    new_sdf = jnp.where(
+        applied_w != 0,
+        jnp.where(new_w > 0, sum_sdf / jnp.maximum(new_w, 1e-12), 0.0),
+        old_sdf,
+    )
     rgb_cm = jnp.moveaxis(rgb, -1, 1)  # [K, 3, V] channel-major
     new_c = old_c + jnp.where(upd[:, None, :], rgb_cm, 0.0) * applied_w[:, None, :]
     new_c = jnp.maximum(new_c, 0.0)
@@ -277,12 +291,12 @@ def _use_pallas() -> bool:
 )
 def _integrate_impl(table, depth, color, intr, cam_to_world, params, cap, use_pallas):
     table = allocate_for_frame(table, depth, intr, cam_to_world, params)
-    vis, _ = visible_block_indices(table, intr, cam_to_world, params, cap)
+    vis, cnt = visible_block_indices(table, intr, cam_to_world, params, cap)
     if use_pallas:
         from bundlefusion_tpu.tsdf.integrate_pallas import integrate_frame_pallas
 
         return integrate_frame_pallas(
-            table, depth, color, intr, cam_to_world, params, vis, 1.0
+            table, depth, color, intr, cam_to_world, params, vis, 1.0, count=cnt
         )
     return integrate_frame(table, depth, color, intr, cam_to_world, params, vis, 1.0)
 
@@ -293,12 +307,12 @@ def _integrate_impl(table, depth, color, intr, cam_to_world, params, cap, use_pa
     donate_argnums=(0,),
 )
 def _deintegrate_impl(table, depth, color, intr, cam_to_world, params, cap, use_pallas):
-    vis, _ = visible_block_indices(table, intr, cam_to_world, params, cap)
+    vis, cnt = visible_block_indices(table, intr, cam_to_world, params, cap)
     if use_pallas:
         from bundlefusion_tpu.tsdf.integrate_pallas import integrate_frame_pallas
 
         return integrate_frame_pallas(
-            table, depth, color, intr, cam_to_world, params, vis, -1.0
+            table, depth, color, intr, cam_to_world, params, vis, -1.0, count=cnt
         )
     return integrate_frame(table, depth, color, intr, cam_to_world, params, vis, -1.0)
 

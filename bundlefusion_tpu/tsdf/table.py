@@ -146,91 +146,173 @@ def _unique_sorted_mask(sorted_keys):
     return (sorted_keys != prev) & (sorted_keys != EMPTY_KEY)
 
 
+ALLOC_COMPACT = 6144  # deduped-candidate capacity per allocate() call
+
+
 def allocate(table: VoxelBlockTable, candidate_coords, valid_mask) -> VoxelBlockTable:
-    """Insert candidate blocks (dedup, skip existing), clearing new voxel data.
+    """Insert candidate blocks (dedup, skip existing).
 
     Args:
       candidate_coords: int32 [M, 3] candidate block coords (may repeat).
       valid_mask: bool [M].
 
-    The whole operation is a fixed-shape jittable program: sort-unique the
-    candidates, filter out already-present keys, pop free slots, concat +
-    re-sort the key table. Overflow (free list exhausted or capacity full)
-    is counted in ``num_alloc_failures`` instead of UB — the reference also
-    silently drops on heap exhaustion.
+    The whole operation is a fixed-shape jittable program: run-dedup +
+    compact the candidates, filter out already-present keys, pop free slots,
+    concat + re-sort the key table. Overflow (free list exhausted or
+    capacity full) is counted in ``num_alloc_failures`` instead of UB — the
+    reference also silently drops on heap exhaustion. Newly popped slots
+    need no clearing: ``free_blocks`` zeroes payload when a slot is freed,
+    so the free list only ever holds zeroed slots.
     """
-    packed = jnp.where(valid_mask, pack_block_coords(candidate_coords), EMPTY_KEY)
-    packed = jnp.sort(packed)
-    uniq = _unique_sorted_mask(packed)
-    # skip blocks already in the table
-    existing = lookup_packed(table, packed) >= 0
-    is_new = uniq & ~existing
-    num_new_req = jnp.sum(is_new.astype(jnp.int32))
+    packed_all = jnp.where(valid_mask, pack_block_coords(candidate_coords), EMPTY_KEY)
+    # Candidates arrive in image-scan order, so duplicates come in runs
+    # (a block's footprint spans ~7 px); dropping consecutive repeats +
+    # compacting shrinks the working set ~5x before any search. Distinct
+    # survivors beyond ALLOC_COMPACT are silently deferred to a later frame
+    # (they stay visible and re-candidate while the surface is in view).
+    prev = jnp.concatenate([jnp.full((1,), -1, jnp.int32), packed_all[:-1]])
+    keep = (packed_all != prev) & (packed_all != EMPTY_KEY)
+    cpos = jnp.cumsum(keep.astype(jnp.int32)) - 1
+    M = ALLOC_COMPACT
+    packed_raw = jnp.full((M,), EMPTY_KEY, jnp.int32).at[
+        jnp.where(keep & (cpos < M), cpos, M)
+    ].set(packed_all, mode="drop")
 
-    def merge(tab: VoxelBlockTable) -> VoxelBlockTable:
+    # presence check needs no sorting of the queries (the TABLE is sorted) —
+    # keeping the candidate sort inside the merge branch makes the steady
+    # state (revisited space, nothing to allocate) a single binary search
+    missing = (lookup_packed(table, packed_raw) < 0) & (packed_raw != EMPTY_KEY)
+    num_missing = jnp.sum(missing.astype(jnp.int32))
+
+    # The cond carries ONLY the small index arrays (keys/slots/free list) —
+    # routing the multi-GB voxel payload through a lax.cond costs full
+    # copies.
+
+    def merge(keys0, slots0, free_list0, free_count0, fails0):
+        packed = jnp.sort(packed_raw)
+        uniq = _unique_sorted_mask(packed)
+        pos = jnp.clip(jnp.searchsorted(keys0, packed), 0, keys0.shape[0] - 1)
+        existing = (keys0[pos] == packed) & (packed != EMPTY_KEY)
+        is_new = uniq & ~existing
+        num_new_req = jnp.sum(is_new.astype(jnp.int32))
         # rank of each new block among new blocks
         rank = jnp.cumsum(is_new.astype(jnp.int32)) - 1
-        num_new = jnp.minimum(num_new_req, tab.free_count)
+        num_new = jnp.minimum(num_new_req, free_count0)
         can_alloc = is_new & (rank < num_new)
         # pop from the top of the free-list stack
-        take_pos = tab.free_count - 1 - rank
+        num_blocks = free_list0.shape[0]
+        take_pos = free_count0 - 1 - rank
         new_slot = jnp.where(
-            can_alloc, tab.free_list[jnp.clip(take_pos, 0, tab.num_blocks - 1)], -1
+            can_alloc, free_list0[jnp.clip(take_pos, 0, num_blocks - 1)], -1
         )
-        # clear voxel payload of newly allocated slots (invalid -> dummy row)
-        clear_idx = jnp.where(can_alloc, new_slot, tab.num_blocks)
-        sdf = tab.sdf.at[clear_idx].set(0.0)
-        weight = tab.weight.at[clear_idx].set(0.0)
-        color = tab.color.at[clear_idx].set(0.0)
+        # out-of-range sentinel -> dropped by the scatter (not even dummy)
+        clear_idx = jnp.where(can_alloc, new_slot, num_blocks + 1)
         # merge: concat and re-sort; EMPTY keys sort to the tail, truncated
         new_keys = jnp.where(can_alloc, packed, EMPTY_KEY)
-        all_keys = jnp.concatenate([tab.keys, new_keys])
-        all_slots = jnp.concatenate([tab.slots, new_slot])
+        all_keys = jnp.concatenate([keys0, new_keys])
+        all_slots = jnp.concatenate([slots0, new_slot])
         order = jnp.argsort(all_keys)
         all_keys_sorted = all_keys[order]
+        cap = keys0.shape[0]
         # capacity overflow check: a real key beyond capacity is dropped
-        dropped = jnp.sum(
-            (all_keys_sorted[tab.capacity :] != EMPTY_KEY).astype(jnp.int32)
-        )
-        return tab._replace(
-            keys=all_keys_sorted[: tab.capacity],
-            slots=all_slots[order][: tab.capacity],
-            sdf=sdf,
-            weight=weight,
-            color=color,
-            free_count=tab.free_count - num_new,
-            num_alloc_failures=tab.num_alloc_failures
-            + (num_new_req - num_new)
-            + dropped,
+        dropped = jnp.sum((all_keys_sorted[cap:] != EMPTY_KEY).astype(jnp.int32))
+        fails = fails0 + (num_new_req - num_new) + dropped
+        return (
+            all_keys_sorted[:cap],
+            all_slots[order][:cap],
+            free_list0,
+            free_count0 - num_new,
+            fails,
+            clear_idx,
         )
 
-    # steady-state fast path: revisited space allocates nothing, so the
-    # expensive merge sort is skipped entirely (lax.cond executes one branch)
-    return jax.lax.cond(num_new_req > 0, merge, lambda t: t, table)
+    def no_merge(keys0, slots0, free_list0, free_count0, fails0):
+        return (
+            keys0,
+            slots0,
+            free_list0,
+            free_count0,
+            fails0,
+            jnp.full((M,), free_list0.shape[0] + 1, jnp.int32),
+        )
+
+    keys, slots, free_list, free_count, fails, _clear_idx = jax.lax.cond(
+        num_missing > 0,
+        merge,
+        no_merge,
+        table.keys,
+        table.slots,
+        table.free_list,
+        table.free_count,
+        table.num_alloc_failures,
+    )
+    return table._replace(
+        keys=keys,
+        slots=slots,
+        free_list=free_list,
+        free_count=free_count,
+        num_alloc_failures=fails,
+    )
+
+
+FREE_COMPACT = 2048  # max slots whose payload is zeroed per free_blocks call
 
 
 def free_blocks(table: VoxelBlockTable, free_mask) -> VoxelBlockTable:
     """Free all keys where ``free_mask`` [capacity] is True.
 
-    Marks keys EMPTY, pushes their slots back onto the free list, re-sorts.
-    Used by garbage collection (reference ``garbageCollectFreeKernel``).
+    Marks keys EMPTY, pushes their slots back onto the free list, re-sorts,
+    and ZEROES the freed slots' payload — maintaining the invariant that
+    free-list slots hold zeroed voxel data, so ``allocate`` never has to
+    clear (clearing there cost a 24K-row scatter every frame). Frees beyond
+    ``FREE_COMPACT`` per call keep their stale payload (counted in
+    ``num_alloc_failures`` as a structural warning); garbage collection
+    frees at most a few hundred blocks per frame in practice.
     """
     free_mask = free_mask & (table.keys != EMPTY_KEY)
-    rank = jnp.cumsum(free_mask.astype(jnp.int32)) - 1
     num_free = jnp.sum(free_mask.astype(jnp.int32))
-    push_pos = table.free_count + rank
-    slot_to_push = jnp.where(free_mask, table.slots, -1)
-    free_list = table.free_list.at[
-        jnp.where(free_mask, push_pos, table.num_blocks)
-    ].set(slot_to_push, mode="drop")
-    keys = jnp.where(free_mask, EMPTY_KEY, table.keys)
-    slots = jnp.where(free_mask, -1, table.slots)
-    order = jnp.argsort(keys)
+
+    # cond over the small index arrays only (never route the voxel payload
+    # through a lax.cond — it costs full copies)
+    def do_free(keys0, slots0, free_list0, free_count0):
+        num_blocks = free_list0.shape[0]
+        rank = jnp.cumsum(free_mask.astype(jnp.int32)) - 1
+        push_pos = free_count0 + rank
+        slot_to_push = jnp.where(free_mask, slots0, -1)
+        free_list = free_list0.at[
+            jnp.where(free_mask, push_pos, num_blocks)
+        ].set(slot_to_push, mode="drop")
+        keys = jnp.where(free_mask, EMPTY_KEY, keys0)
+        slots = jnp.where(free_mask, -1, slots0)
+        order = jnp.argsort(keys)
+        return keys[order], slots[order], free_list, free_count0 + num_free
+
+    # nothing to free (the per-frame steady state under garbage collection)
+    # -> skip the re-sort entirely
+    keys, slots, free_list, free_count = jax.lax.cond(
+        num_free > 0,
+        do_free,
+        lambda k, s, fl, fc: (k, s, fl, fc),
+        table.keys,
+        table.slots,
+        table.free_list,
+        table.free_count,
+    )
+    # zero the freed slots' payload (compacted row scatter; OOB pad = drop)
+    frank = jnp.cumsum(free_mask.astype(jnp.int32)) - 1
+    freed = jnp.full((FREE_COMPACT,), table.num_blocks + 1, jnp.int32).at[
+        jnp.where(free_mask & (frank < FREE_COMPACT), frank, FREE_COMPACT)
+    ].set(jnp.where(free_mask, table.slots, table.num_blocks + 1), mode="drop")
+    uncleared = jnp.maximum(num_free - FREE_COMPACT, 0)
     return table._replace(
-        keys=keys[order],
-        slots=slots[order],
+        keys=keys,
+        slots=slots,
         free_list=free_list,
-        free_count=table.free_count + num_free,
+        free_count=free_count,
+        sdf=table.sdf.at[freed].set(0.0, mode="drop"),
+        weight=table.weight.at[freed].set(0.0, mode="drop"),
+        color=table.color.at[freed].set(0.0, mode="drop"),
+        num_alloc_failures=table.num_alloc_failures + uncleared,
     )
 
 
