@@ -40,7 +40,14 @@ class AppConfig:
     # trajectory manager / re-integration budget (zParametersDefault.txt:25-27)
     max_frame_fixes: int = 10                 # max de/re-integration ops per frame
     top_n_active: int = 30                    # max active entries in reintegrate list
-    min_pose_dist_sqrt: float = 0.0           # pose-delta threshold for reintegration
+    # Pose-delta threshold for re-integration (s_minPoseDistSqrt). The
+    # reference default is 0.0 ("reintegrate everything"), which keeps the
+    # GPU busy re-fusing frames whose solved pose moved by micrometers. On
+    # TPU the default is 1/4 voxel in the combined translation+2*rotation
+    # metric: deltas far below the voxel size cannot change the TSDF, and
+    # skipping them frees the chip for real work. Set to 0.0 for exact
+    # reference-parity scheduling.
+    min_pose_dist_sqrt: float = 0.0025
 
     # TSDF volume (zParametersDefault.txt:39-56)
     sdf_voxel_size: float = 0.010

@@ -96,13 +96,9 @@ from bundlefusion_tpu.solver.residuals import (
     create_corr_store,
     invalidate_image_pair,
 )
-from bundlefusion_tpu.tsdf.integrate import (
-    TsdfParams,
-    allocate_for_frame,
-    integrate_frame,
-    visible_block_indices,
-    _use_pallas,
-)
+from bundlefusion_tpu.tsdf.apply_pallas import apply_tsdf_ops, apply_tsdf_ops_xla
+from bundlefusion_tpu.tsdf.integrate import TsdfParams, candidate_keys, _use_pallas
+from bundlefusion_tpu.tsdf.table import EMPTY_KEY, allocate_packed
 from bundlefusion_tpu.tsdf.raycast import RaycastParams, raycast
 from bundlefusion_tpu.tsdf.table import create_table, garbage_collect
 from bundlefusion_tpu.utils.timing import TimingLog
@@ -339,33 +335,22 @@ class BundleFusion:
             corr_thresh=bundling.verify_opt_corr_thresh,
         )
 
-        def _integrate_body(table, depth_int, color_int, T_world, sign, alloc_enable=None):
-            """sign is a TRACED scalar: +1 fuse, -1 un-fuse, 0 exact no-op.
-            Gating by validity/op happens through sign (and alloc_enable) —
-            never via lax.cond over the table, which would copy the
-            multi-GB voxel payload."""
-            if alloc_enable is not None:
-                table = allocate_for_frame(
-                    table, depth_int, intr_int, T_world, tsdf_params, enabled=alloc_enable
-                )
-            vis, vis_count = visible_block_indices(table, intr_int, T_world, tsdf_params, cap)
-            if use_pallas:
-                from bundlefusion_tpu.tsdf.integrate_pallas import integrate_frame_pallas
-
-                return integrate_frame_pallas(
-                    table, depth_int, color_int, intr_int, T_world, tsdf_params, vis,
-                    sign, count=vis_count,
-                )
-            return integrate_frame(
-                table, depth_int, color_int, intr_int, T_world, tsdf_params, vis, sign
+        def _apply_ops(table, depths, colors, poses, signs, img_of_op):
+            """Fused multi-op TSDF kernel (or its XLA twin off-TPU).
+            Ops apply sequentially; sign 0 is an exact no-op."""
+            fn = apply_tsdf_ops if use_pallas else apply_tsdf_ops_xla
+            return fn(
+                table, depths, colors, poses, signs, img_of_op, intr_int, tsdf_params
             )
 
         # ---------------- frame_step ----------------
-        def frame_step(depth_u16, color_u8, local: LocalState, table, store: FrameStore,
+        def frame_step(depth_u16, color_u8, local: LocalState, store: FrameStore,
                        submap_base, cur_slot, store_slot):
             """One frame: preprocess -> detect -> archive -> match/filter ->
-            chain -> integrate. Returns (local', table', store', T_world,
-            valid). Nothing bulk ever leaves the device.
+            chain. Returns (local', store', T_world, valid). TSDF work
+            happens in the separate fused ``tsdf_step`` dispatch (which
+            also carries the frame's re-integration budget).
+            Nothing bulk ever leaves the device.
 
             Inputs arrive compact (uint16 mm depth / uint8 color — the .sens
             wire formats) and are decoded on device: the host->device tunnel
@@ -422,15 +407,87 @@ class BundleFusion:
                 valid=local.valid.at[cur_slot].set(valid),
             )
             T_world = submap_base @ T_rel
+            return local, store, T_world, valid
 
-            if app.integration_enabled:
-                table = _integrate_body(
-                    table, depth_int, color_int, T_world,
-                    valid.astype(jnp.float32), alloc_enable=valid,
-                )
-            return local, table, store, T_world, valid
+        self._frame_step = jax.jit(frame_step, donate_argnums=(2, 3))
 
-        self._frame_step = jax.jit(frame_step, donate_argnums=(2, 3, 4))
+        # ---------------- tsdf_step (fused integrate + re-integration) ----
+        R = 5  # max re-integration rows per frame (2 ops each, budget 10)
+
+        def _decode_rows(store: FrameStore, fids):
+            ds, cs = [], []
+            for i in range(fids.shape[0]):
+                d, c = decode_frame(store.depth_mm[fids[i]], store.color[fids[i]])
+                ds.append(d)
+                cs.append(c)
+            return jnp.stack(ds), jnp.stack(cs)
+
+        def tsdf_fast(table, store: FrameStore, fid, T_cur, valid):
+            """Typical frame: just the current frame's fuse (no rows).
+            ONE allocation + ONE kernel sweep."""
+            d, c = decode_frame(store.depth_mm[fid], store.color[fid])
+            packed = candidate_keys(d, intr_int, T_cur, tsdf_params)
+            table = allocate_packed(
+                table, jnp.where(valid, packed, jnp.int32(EMPTY_KEY))
+            )
+            return _apply_ops(
+                table,
+                d[None],
+                c[None],
+                T_cur[None],
+                valid.astype(jnp.float32)[None],
+                jnp.zeros((1,), jnp.int32),
+            )
+
+        def tsdf_rows(table, store: FrameStore, row_fids, T_olds, T_news,
+                      row_ops, fid_cur, T_cur, cur_valid):
+            """Re-integration frame: up to R rows (de/re/int ops,
+            ``DepthSensing.cpp: reintegrate():854-902``) + the current
+            frame's fuse, in ONE batched allocation + ONE kernel sweep.
+            row_ops: 0=skip, 1=de-integrate, 2=de+re, 3=integrate."""
+            fids = jnp.concatenate([row_fids, fid_cur[None]])
+            depths, colors = _decode_rows(store, fids)     # [R+1, ...]
+            de_en = (row_ops == 1) | (row_ops == 2)
+            re_en = (row_ops == 2) | (row_ops == 3)
+
+            # ops: [de_0, re_0, de_1, re_1, ..., current] — row order matches
+            # the host scheduler's sequential semantics
+            poses = jnp.concatenate(
+                [
+                    jnp.stack([T_olds, T_news], axis=1).reshape(R * 2, 4, 4),
+                    T_cur[None],
+                ]
+            )
+            signs = jnp.concatenate(
+                [
+                    jnp.stack(
+                        [-de_en.astype(jnp.float32), re_en.astype(jnp.float32)],
+                        axis=1,
+                    ).reshape(R * 2),
+                    cur_valid.astype(jnp.float32)[None],
+                ]
+            )
+            img_of_op = jnp.concatenate(
+                [
+                    jnp.repeat(jnp.arange(R, dtype=jnp.int32), 2),
+                    jnp.asarray([R], jnp.int32),
+                ]
+            )
+
+            # batched allocation: re-integration targets + current frame
+            alloc_en = jnp.concatenate([re_en, cur_valid[None]])
+            alloc_T = jnp.concatenate([T_news, T_cur[None]])
+            packed = jax.vmap(
+                lambda d_, T_: candidate_keys(d_, intr_int, T_, tsdf_params)
+            )(depths, alloc_T)
+            packed = jnp.where(
+                alloc_en[:, None], packed, jnp.int32(EMPTY_KEY)
+            ).reshape(-1)
+            table = allocate_packed(table, packed)
+            return _apply_ops(table, depths, colors, poses, signs, img_of_op)
+
+        self._tsdf_fast = jax.jit(tsdf_fast, donate_argnums=(0,))
+        self._tsdf_rows = jax.jit(tsdf_rows, donate_argnums=(0,))
 
         # ---------------- submap_step ----------------
         def submap_step(local: LocalState, glob: GlobalState, kf_valid, g,
@@ -600,22 +657,6 @@ class BundleFusion:
 
         self._pack_tail = jax.jit(pack_tail)
 
-        # ---------------- re-integration (one row per dispatch) ----------------
-        def reintegrate_row(table, store: FrameStore, fi, T_old, T_new, op):
-            """op: 1=de-integrate(T_old), 2=de-int(T_old)+int(T_new),
-            3=integrate(T_new). The frame is gathered from the device-
-            resident store — no transfers. One compile; the host dispatches
-            exactly as many rows as the scheduler produced (async, so the
-            dispatches pipeline on device)."""
-            d, c = decode_frame(store.depth_mm[fi], store.color[fi])
-            de_en = ((op == 1) | (op == 2)).astype(jnp.float32)
-            re_en = (op == 2) | (op == 3)
-            table = _integrate_body(table, d, c, T_old, -de_en)
-            return _integrate_body(
-                table, d, c, T_new, re_en.astype(jnp.float32), alloc_enable=re_en
-            )
-
-        self._reintegrate_row = jax.jit(reintegrate_row, donate_argnums=(0,))
         self._gc = jax.jit(garbage_collect, donate_argnums=(0,), static_argnums=(1,))
 
     # ------------------------------------------------------------------
@@ -666,27 +707,29 @@ class BundleFusion:
 
         with self.timing.stage("time_frame_step", ft):
             depth_u16, color_u8_in = self._to_wire(depth, color)
-            self.local, self.table, self.store, T_world_dev, valid_dev = (
-                self._frame_step(
-                    jnp.asarray(depth_u16),
-                    jnp.asarray(color_u8_in),
-                    self.local,
-                    self.table,
-                    self.store,
-                    self.submap_base,
-                    jnp.asarray(cur_slot, jnp.int32),
-                    jnp.asarray(self._store_slot(f), jnp.int32),
-                )
+            store_slot = self._store_slot(f)
+            self.local, self.store, T_world_dev, valid_dev = self._frame_step(
+                jnp.asarray(depth_u16),
+                jnp.asarray(color_u8_in),
+                self.local,
+                self.store,
+                self.submap_base,
+                jnp.asarray(cur_slot, jnp.int32),
+                jnp.asarray(store_slot, jnp.int32),
             )
+
+        # ---- fused TSDF dispatch: re-integration budget + current frame
+        # fuse in ONE kernel sweep (reference order: reintegrate() then
+        # integrate(), DepthSensing.cpp:854-902 + :1047) ----
+        with self.timing.stage("time_re_integrate", ft):
+            if self.app.integration_enabled:
+                self._tsdf_dispatch(store_slot, T_world_dev, valid_dev)
 
         # ---- submap boundary: dispatch the solve (device-side dependency
         # only; results retired on a later frame) ----
         if is_boundary:
             with self.timing.stage("time_submap_step", ft):
                 self._dispatch_submap(T_world_dev)
-
-        with self.timing.stage("time_re_integrate", ft):
-            self._reintegrate()
 
         self.frame_idx += 1
         return {"pose": T_world_dev, "valid": valid_dev}
@@ -891,14 +934,77 @@ class BundleFusion:
         self._push_optimized_to_manager()
 
     # ------------------------------------------------------------------
-    def _reintegrate(self):
-        """Consume at most ``max_frame_fixes`` de/re-integration ops as ONE
-        batched scan (``DepthSensing.cpp: reintegrate():854-902``)."""
-        if not self.app.integration_enabled:
+    def _tsdf_dispatch(self, store_slot=None, T_world_dev=None, valid_dev=None):
+        """Dispatch the frame's fused TSDF program: the ≤``max_frame_fixes``
+        re-integration budget (``DepthSensing.cpp: reintegrate():854-902``)
+        plus the current frame's fuse, as ONE kernel sweep. With no current
+        frame (drain mode at finish()) only rows run."""
+        rows = self._build_reintegrate_rows() if self.app.integration_enabled else []
+        has_cur = store_slot is not None
+        if not rows and not has_cur:
             return
+        R = 5
+        if not rows and has_cur:
+            self.table = self._tsdf_fast(
+                self.table,
+                self.store,
+                jnp.asarray(store_slot, jnp.int32),
+                T_world_dev,
+                valid_dev,
+            )
+            return
+
+        rows = rows[:R]
+        eye = np.eye(4, dtype=np.float32)
+        fids = np.zeros(R, np.int32)
+        ops = np.zeros(R, np.int32)
+        T_olds = np.tile(eye, (R, 1, 1))
+        T_news = np.tile(eye, (R, 1, 1))
+        for i, (f, mode, To, Tn) in enumerate(rows):
+            fids[i] = f
+            ops[i] = mode
+            T_olds[i] = To
+            T_news[i] = Tn
+        if has_cur:
+            fid_cur = jnp.asarray(store_slot, jnp.int32)
+            T_cur, cur_valid = T_world_dev, valid_dev
+        else:
+            fid_cur = jnp.asarray(0, jnp.int32)
+            T_cur = jnp.asarray(eye)
+            cur_valid = jnp.asarray(False)
+        self.table = self._tsdf_rows(
+            self.table,
+            self.store,
+            jnp.asarray(fids),
+            jnp.asarray(T_olds),
+            jnp.asarray(T_news),
+            jnp.asarray(ops),
+            fid_cur,
+            T_cur,
+            cur_valid,
+        )
+        for f, mode, To, Tn in rows:
+            if mode == 1:
+                self.traj_manager.mark_deintegrated(f)
+            elif mode == 2:
+                self.traj_manager.mark_deintegrated(f)
+                self.traj_manager.mark_integrated(f, Tn)
+            elif mode == 3:
+                self.traj_manager.mark_integrated(f, Tn)
+        if self.app.garbage_collection_enabled and any(
+            mode in (1, 2) for _, mode, _, _ in rows
+        ):
+            # de-integration may empty blocks; reclaim them (the fast path
+            # never frees, so gc only runs on row frames)
+            self.table = self._gc(self.table)
+
+    # ------------------------------------------------------------------
+    def _build_reintegrate_rows(self):
+        """Schedule at most ``max_frame_fixes`` de/re-integration ops
+        (``TrajectoryManager::generateUpdateLists`` consumption)."""
         deint, reint, integ = self.traj_manager.generate_update_lists()
         if not (deint or reint or integ):
-            return
+            return []
         budget = self.app.max_frame_fixes
         eye = np.eye(4, dtype=np.float32)
         # frames evicted from the device archive cannot be re-integrated;
@@ -947,29 +1053,7 @@ class BundleFusion:
                     continue
                 rows.append((f, 3, eye, new_T))
                 ops += 1
-        if not rows:
-            return
-
-        rows = rows[: self.app.max_frame_fixes]
-        for f, mode, To, Tn in rows:
-            self.table = self._reintegrate_row(
-                self.table,
-                self.store,
-                jnp.asarray(f, jnp.int32),
-                jnp.asarray(To),
-                jnp.asarray(Tn),
-                jnp.asarray(mode, jnp.int32),
-            )
-        for f, mode, To, Tn in rows:
-            if mode == 1:
-                self.traj_manager.mark_deintegrated(f)
-            elif mode == 2:
-                self.traj_manager.mark_deintegrated(f)
-                self.traj_manager.mark_integrated(f, Tn)
-            elif mode == 3:
-                self.traj_manager.mark_integrated(f, Tn)
-        if self.app.garbage_collection_enabled:
-            self.table = self._gc(self.table)
+        return rows
 
     # ------------------------------------------------------------------
     def finish(self, extra_solves: Optional[int] = None):
@@ -1018,7 +1102,7 @@ class BundleFusion:
                 before = self.traj_manager.generate_update_lists()
                 if not any(before):
                     break
-                self._reintegrate()
+                self._tsdf_dispatch()
 
     # ------------------------------------------------------------------
     def render(self, cam_to_world, raycast_params: Optional[RaycastParams] = None):

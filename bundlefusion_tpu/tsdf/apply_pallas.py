@@ -1,0 +1,566 @@
+"""Fused multi-op TSDF integrate/de-integrate Pallas kernel (in-place).
+
+This replaces the per-op pipeline (allocate -> compactify visible -> XLA
+row-gather workspace -> kernel -> row-scatter) that reproduced the
+reference's ``integrateDepthMapKernel`` (CUDASceneRepHashSDF.cu:420-521)
+one dispatch per (de)integration. Profiling on TPU v5e showed the XLA
+row gather/scatter of the workspace running at ~13 GB/s (the (8, 128)
+tiled layout makes single-row access read whole tiles) and the per-op
+fixed costs (compactify ~3.5 ms, gather+scatter ~13 ms) dominating — a
+re-integration frame dispatches up to 11 such ops (reintegrate budget,
+``DepthSensing.cpp:854-902``).
+
+Design (one kernel invocation applies ALL of a frame's TSDF ops):
+
+- **slot-major linear sweep**: payload rows are processed ``[0,
+  high_water)`` in TILE-row contiguous chunks via manually
+  double-buffered DMA (HBM->VMEM->HBM), so memory traffic is sequential
+  at HBM bandwidth and scales with *occupancy*, not capacity. Block
+  coordinates come from the table's slot-major inverse map
+  (``slot_keys``); dead rows (EMPTY) pass through untouched.
+- **in-place**: the payload arrays are passed in ``ANY`` (HBM) memory
+  space and aliased to the outputs — no XLA workspace, no table copy.
+- **multi-op**: each op is (pose, sign, image index). A re-integration
+  row is two ops on the same image (sign -1 at the old pose, +1 at the
+  new); the current frame's fuse is one op. Ops apply sequentially per
+  voxel, exactly like the reference's sequential kernel launches. sign=0
+  is an exact bitwise no-op (gates invalid frames without copies).
+- **tile-vectorized update, per-block MXU sampling**: geometry,
+  projection, and the voxel update run on whole (TILE, 512) chunks (full
+  VPU lanes); only image sampling loops per block, selecting the five
+  channels (depth split bf16 hi/lo for f32 accuracy + RGB) with one-hot
+  contractions on the MXU over a 64-column u-window of the transposed
+  image (full-width fallback for blocks very close to the camera).
+  One-hot selection is exact. Mosaic constrains vector shape casts, so
+  the only reshapes used are leading-dim merges ((1, 512, HP) ->
+  (512, HP)) and sublane-vector spreads ((512, 1) -> (1, 512)), both
+  verified supported.
+
+The voxel update math (truncation band, weighted running average with
+sign, premultiplied channel-major color) is identical to
+``integrate.integrate_frame`` and cross-checked in tests.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from bundlefusion_tpu.geometry.camera import CameraIntrinsics
+from bundlefusion_tpu.geometry.lie import pose_inverse
+from bundlefusion_tpu.tsdf.integrate import TsdfParams
+from bundlefusion_tpu.tsdf.table import (
+    BLOCK_SIZE,
+    BLOCK_VOLUME,
+    EMPTY_KEY,
+    GRID_BITS,
+    GRID_DIM,
+    GRID_HALF,
+    VoxelBlockTable,
+)
+
+V = BLOCK_VOLUME                  # 512
+TILE = 16                         # payload rows per DMA chunk
+WIN = 64                          # u-window columns for MXU sampling
+
+
+def _apply_kernel(
+    # SMEM inputs
+    nt_ref,       # (1, 1) int32: number of TILE chunks to sweep
+    meta_ref,     # (OPS, 16) f32: R row-major (9) | t (3) | sign | img | 0 | 0
+    # VMEM inputs
+    img5_ref,     # (IMGS*W, 5*HP) bf16: d_hi | d_lo | r | g | b, transposed
+    # ANY (HBM): per-slot geometry rows (block coords + live flag)
+    geo_any,      # (N + 1, 128) f32
+    # ANY (HBM) inputs, aliased to outputs
+    sdf_any,      # (N + 1, V) f32
+    w_any,        # (N + 1, V) f32
+    c_any,        # (N + 1, 3*V) f32 channel-major
+    # outputs (aliased: 0 -> sdf_any, 1 -> w_any, 2 -> c_any)
+    sdf_out_any,
+    w_out_any,
+    c_out_any,
+    # scratch
+    in_sdf,       # VMEM (2, TILE, V)
+    in_w,         # VMEM (2, TILE, V)
+    in_c,         # VMEM (2, TILE, 3*V)
+    out_sdf,      # VMEM (2, TILE, V)
+    out_w,
+    out_c,
+    geobuf,       # VMEM (2, TILE, 128): per-slot block coords + live flag
+    uvb,          # VMEM (2, TILE, V) int32: u | v (staged: computed arrays
+                  # cannot be re-read tile-wide inside the nested conds)
+    samp,         # VMEM (5, TILE, V): d_hi | d_lo | r | g | b samples
+    in_sems,      # DMA (2, 4)
+    out_sems,     # DMA (2, 3)
+    *,
+    OPS: int,
+    H: int,
+    W: int,
+    HP: int,
+    fx: float,
+    fy: float,
+    cx: float,
+    cy: float,
+    voxel_size: float,
+    truncation: float,
+    truncation_scale: float,
+    depth_min: float,
+    depth_max: float,
+    w_sample: float,
+    w_max: float,
+):
+    nt = nt_ref[0, 0]
+    # voxel-local coordinate grids, (1, V) broadcast rows
+    lin1 = jax.lax.broadcasted_iota(jnp.int32, (1, V), 1)
+    vx1 = (lin1 % BLOCK_SIZE).astype(jnp.float32)
+    vy1 = ((lin1 // BLOCK_SIZE) % BLOCK_SIZE).astype(jnp.float32)
+    vz1 = (lin1 // (BLOCK_SIZE * BLOCK_SIZE)).astype(jnp.float32)
+    # one-hot index grids: tiny (1, 1, X) iotas that broadcast inside the
+    # compare (a materialized (TILE, V, X) iota would cost MBs of VMEM);
+    # the compare output reshapes by merging leading dims (mosaic-legal)
+    v_ids = jax.lax.broadcasted_iota(jnp.int32, (1, 1, HP), 2)
+    u_ids_win = jax.lax.broadcasted_iota(jnp.int32, (1, 1, WIN), 2)
+    u_ids_full = jax.lax.broadcasted_iota(jnp.int32, (1, 1, W), 2)
+
+    def in_dmas(t, slot):
+        off = pl.multiple_of(t * TILE, TILE)
+        return [
+            pltpu.make_async_copy(
+                sdf_any.at[pl.ds(off, TILE), :], in_sdf.at[slot], in_sems.at[slot, 0]
+            ),
+            pltpu.make_async_copy(
+                w_any.at[pl.ds(off, TILE), :], in_w.at[slot], in_sems.at[slot, 1]
+            ),
+            pltpu.make_async_copy(
+                c_any.at[pl.ds(off, TILE), :], in_c.at[slot], in_sems.at[slot, 2]
+            ),
+            pltpu.make_async_copy(
+                geo_any.at[pl.ds(off, TILE), :], geobuf.at[slot], in_sems.at[slot, 3]
+            ),
+        ]
+
+    def out_dmas(t, slot):
+        off = pl.multiple_of(t * TILE, TILE)
+        return [
+            pltpu.make_async_copy(
+                out_sdf.at[slot], sdf_out_any.at[pl.ds(off, TILE), :], out_sems.at[slot, 0]
+            ),
+            pltpu.make_async_copy(
+                out_w.at[slot], w_out_any.at[pl.ds(off, TILE), :], out_sems.at[slot, 1]
+            ),
+            pltpu.make_async_copy(
+                out_c.at[slot], c_out_any.at[pl.ds(off, TILE), :], out_sems.at[slot, 2]
+            ),
+        ]
+
+    @pl.when(nt > 0)
+    def _():
+        for d in in_dmas(0, 0):
+            d.start()
+
+    @pl.when(nt > 1)
+    def _():
+        for d in in_dmas(1, 1):
+            d.start()
+
+    def body(t, _):
+        slot = jax.lax.rem(t, 2)
+        for d in in_dmas(t, slot):
+            d.wait()
+
+        @pl.when(t >= 2)
+        def _():
+            # this slot's previous out-DMA (tile t-2) must land before the
+            # compute below overwrites the out buffers
+            for d in out_dmas(t - 2, slot):
+                d.wait()
+
+        # ---- vectorized per-tile geometry from the slot_geo rows ----
+        bs = BLOCK_SIZE * voxel_size
+        WX = geobuf[slot, :, 0:1] * bs + (vx1 + 0.5) * voxel_size  # (TILE, V)
+        WY = geobuf[slot, :, 1:2] * bs + (vy1 + 0.5) * voxel_size
+        WZ = geobuf[slot, :, 2:3] * bs + (vz1 + 0.5) * voxel_size
+        LIVE = geobuf[slot, :, 3:4] > 0.5
+
+        # ---- sequential ops over the whole tile ----
+        def op_body(o, cry):
+            sdf, w, r_, g_, b_ = cry
+            sign = meta_ref[o, 12]
+
+            def apply(cry2):
+                sdf, w, r_, g_, b_ = cry2
+                img = meta_ref[o, 13].astype(jnp.int32)
+                px = meta_ref[o, 0] * WX + meta_ref[o, 1] * WY + meta_ref[o, 2] * WZ + meta_ref[o, 9]
+                py = meta_ref[o, 3] * WX + meta_ref[o, 4] * WY + meta_ref[o, 5] * WZ + meta_ref[o, 10]
+                pz = meta_ref[o, 6] * WX + meta_ref[o, 7] * WY + meta_ref[o, 8] * WZ + meta_ref[o, 11]
+                zs = jnp.maximum(pz, 1e-6)
+                u = jnp.round(px / zs * fx + cx).astype(jnp.int32)   # (TILE, V)
+                v = jnp.round(py / zs * fy + cy).astype(jnp.int32)
+                inb = (u >= 0) & (u < W) & (v >= 0) & (v < H) & (pz > 0) & LIVE
+                # stage through scratch: computed arrays cannot be
+                # dynamically sliced in mosaic, refs can
+                uvb[0] = u
+                uvb[1] = v
+
+                def no_hit(cry3):
+                    return cry3
+
+                def tile_hit(cry3):
+                    return apply_tile(cry3, inb, pz, img, sign)
+
+                # whole tile outside this op's frustum -> skip the sampling
+                # loop and update entirely
+                return jax.lax.cond(jnp.any(inb), tile_hit, no_hit, cry2)
+
+            def apply_tile(cry2, inb, pz, img, sign):
+                sdf, w, r_, g_, b_ = cry2
+                u = uvb[0]
+                v = uvb[1]
+
+                # ---- whole-tile one-hot sampling ----
+                # All TILE*V voxels sample in ONE set of MXU contractions
+                # (no per-block loop, no sublane->lane relayouts). One-hot
+                # selection keeps everything exact even in bf16: every
+                # reduction has exactly one nonzero addend.
+                vm = jnp.where(inb, v, -1)
+                um_all = jnp.where(inb, u, -1)
+                min_u = jnp.min(jnp.where(inb, u, W))
+                max_u = jnp.max(jnp.where(inb, u, 0))
+                u0w = jnp.clip(min_u & ~7, 0, W - WIN)
+                fits = max_u < u0w + WIN
+                HT = TILE // 2  # sampling runs in half-tiles to bound VMEM
+
+                def samp_with(width, u0, u_ids):
+                    win = img5_ref[pl.ds(img * W + u0, width), :]
+                    for h in range(2):
+                        sl = slice(h * HT, (h + 1) * HT)
+                        oh_v = (
+                            (v_ids == vm[sl][:, :, None])
+                            .astype(jnp.bfloat16)
+                            .reshape(HT * V, HP)
+                        )
+                        oh_u = (
+                            (u_ids == (um_all[sl] - u0)[:, :, None])
+                            .astype(jnp.bfloat16)
+                            .reshape(HT * V, width)
+                        )
+                        for ch in range(5):
+                            rows = jnp.dot(
+                                oh_u,
+                                win[:, ch * HP : (ch + 1) * HP],
+                                preferred_element_type=jnp.float32,
+                                precision=jax.lax.Precision.DEFAULT,
+                            ).astype(jnp.bfloat16)  # [HT*V, HP]; exact —
+                            # every accumulation has ONE nonzero bf16
+                            # addend, so the f32->bf16 downcast reproduces
+                            # the sampled value
+                            val = jnp.sum(
+                                rows * oh_v, axis=1, keepdims=True
+                            )  # [HT*V, 1] bf16, exact for the same reason
+                            samp[ch, sl] = val.astype(jnp.float32).reshape(HT, V)
+
+                @pl.when(fits)
+                def _():
+                    samp_with(WIN, pl.multiple_of(u0w, 8), u_ids_win)
+
+                @pl.when(jnp.logical_not(fits))
+                def _():
+                    samp_with(W, jnp.int32(0), u_ids_full)
+
+                d = samp[0] + samp[1]   # hi + lo (selection is linear)
+                depth_ok = (d >= depth_min) & (d <= depth_max)
+                sd = d - pz
+                trunc = truncation + truncation_scale * d
+                upd = inb & depth_ok & (sd > -trunc)
+                sd_cl = jnp.minimum(sd, trunc)
+                w_new = (upd.astype(jnp.float32) * w_sample) * sign
+                new_w = jnp.clip(w + w_new, 0.0, w_max)
+                applied = new_w - w
+                sum_sdf = sdf * w + jnp.where(upd, sd_cl, 0.0) * applied
+                new_sdf = jnp.where(
+                    applied != 0,
+                    jnp.where(new_w > 0, sum_sdf / jnp.maximum(new_w, 1e-12), 0.0),
+                    sdf,
+                )
+                appc = jnp.where(upd, applied, 0.0)
+                return (
+                    new_sdf,
+                    new_w,
+                    jnp.maximum(r_ + samp[2] * appc, 0.0),
+                    jnp.maximum(g_ + samp[3] * appc, 0.0),
+                    jnp.maximum(b_ + samp[4] * appc, 0.0),
+                )
+
+            return jax.lax.cond(sign != 0.0, apply, lambda c: c, cry)
+
+        init = (
+            in_sdf[slot],
+            in_w[slot],
+            in_c[slot, :, 0:V],
+            in_c[slot, :, V : 2 * V],
+            in_c[slot, :, 2 * V : 3 * V],
+        )
+        sdf, w, r_, g_, b_ = jax.lax.fori_loop(0, OPS, op_body, init)
+        out_sdf[slot] = sdf
+        out_w[slot] = w
+        out_c[slot, :, 0:V] = r_
+        out_c[slot, :, V : 2 * V] = g_
+        out_c[slot, :, 2 * V : 3 * V] = b_
+
+        for d in out_dmas(t, slot):
+            d.start()
+
+        @pl.when(t + 2 < nt)
+        def _():
+            for d in in_dmas(t + 2, slot):
+                d.start()
+
+        return 0
+
+    jax.lax.fori_loop(0, nt, body, 0)
+
+    # drain the last out-DMAs
+    @pl.when(nt > 0)
+    def _():
+        for d in out_dmas(nt - 1, jax.lax.rem(nt - 1, 2)):
+            d.wait()
+
+    @pl.when(nt > 1)
+    def _():
+        for d in out_dmas(nt - 2, jax.lax.rem(nt - 2, 2)):
+            d.wait()
+
+
+def pack_img5(depth, color):
+    """One frame -> the kernel's transposed 5-channel sample image
+    [W, 5*HP] bf16 (d_hi | d_lo | r | g | b). Non-finite pixels zero."""
+    H, W = depth.shape
+    HP = ((H + 127) // 128) * 128
+
+    def _fin(x):
+        return jnp.where(jnp.isfinite(x) & (jnp.abs(x) < 1e30), x, 0.0)
+
+    d_f = _fin(depth)
+    d_hi = d_f.astype(jnp.bfloat16)
+    d_lo = (d_f - d_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    chans = [d_hi, d_lo] + [
+        _fin(color[..., ch]).astype(jnp.bfloat16) for ch in range(3)
+    ]
+    return jnp.concatenate(
+        [jnp.pad(ch.T, ((0, 0), (0, HP - H))) for ch in chans], axis=1
+    )
+
+
+def apply_tsdf_ops(
+    table: VoxelBlockTable,
+    depths,            # [IMGS, H, W] f32 (non-finite = invalid)
+    colors,            # [IMGS, H, W, 3] f32 in [0, 1]
+    poses,             # [OPS, 4, 4] cam-to-world per op
+    signs,             # [OPS] f32: +1 integrate, -1 de-integrate, 0 no-op
+    img_of_op,         # [OPS] int32 index into depths/colors
+    intr: CameraIntrinsics,
+    params: TsdfParams,
+    interpret: bool = False,
+) -> VoxelBlockTable:
+    """Apply a batch of (de)integration ops in ONE in-place kernel sweep.
+
+    Ops execute sequentially per voxel in array order — callers list
+    de-integrations before the re-integrations/integrations that follow
+    them, mirroring the reference's dispatch order
+    (``DepthSensing.cpp: reintegrate()`` then ``integrate()``).
+    """
+    OPS = poses.shape[0]
+    IMGS = depths.shape[0]
+    H, W = depths.shape[1:]
+    HP = ((H + 127) // 128) * 128
+    N = table.num_blocks
+    assert N % TILE == 0, "num_blocks must be a multiple of the DMA tile"
+
+    img5 = jax.vmap(pack_img5)(depths, colors).reshape(
+        IMGS * W, 5 * HP
+    )  # flattened so the kernel's image+window select is one dynamic slice
+
+    w2c = jax.vmap(pose_inverse)(poses)
+    meta = jnp.concatenate(
+        [
+            w2c[:, :3, :3].reshape(OPS, 9),
+            w2c[:, :3, 3],
+            signs.reshape(OPS, 1).astype(jnp.float32),
+            img_of_op.reshape(OPS, 1).astype(jnp.float32),
+            jnp.zeros((OPS, 2), jnp.float32),
+        ],
+        axis=1,
+    )  # [OPS, 16]
+
+    nt = jnp.reshape(
+        jnp.minimum((table.high_water + TILE - 1) // TILE, N // TILE), (1, 1)
+    ).astype(jnp.int32)
+
+
+    kernel = partial(
+        _apply_kernel,
+        OPS=OPS,
+        H=H,
+        W=W,
+        HP=HP,
+        fx=intr.fx,
+        fy=intr.fy,
+        cx=intr.cx,
+        cy=intr.cy,
+        voxel_size=params.voxel_size,
+        truncation=params.truncation,
+        truncation_scale=params.truncation_scale,
+        depth_min=params.depth_min,
+        depth_max=min(params.depth_max, params.max_integration_distance),
+        w_sample=params.integration_weight_sample,
+        w_max=params.integration_weight_max,
+    )
+
+    sdf, weight, color = pl.pallas_call(
+        kernel,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # nt
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # meta
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # img5
+            pl.BlockSpec(memory_space=pl.ANY),       # slot_geo
+            pl.BlockSpec(memory_space=pl.ANY),       # sdf
+            pl.BlockSpec(memory_space=pl.ANY),       # weight
+            pl.BlockSpec(memory_space=pl.ANY),       # color
+        ],
+        out_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct(table.sdf.shape, jnp.float32),
+            jax.ShapeDtypeStruct(table.weight.shape, jnp.float32),
+            jax.ShapeDtypeStruct(table.color.shape, jnp.float32),
+        ],
+        # inputs: nt(0) meta(1) keys(2) img5(3) sdf(4) w(5) c(6)
+        input_output_aliases={4: 0, 5: 1, 6: 2},
+        scratch_shapes=[
+            pltpu.VMEM((2, TILE, V), jnp.float32),
+            pltpu.VMEM((2, TILE, V), jnp.float32),
+            pltpu.VMEM((2, TILE, 3 * V), jnp.float32),
+            pltpu.VMEM((2, TILE, V), jnp.float32),
+            pltpu.VMEM((2, TILE, V), jnp.float32),
+            pltpu.VMEM((2, TILE, 3 * V), jnp.float32),
+            pltpu.VMEM((2, TILE, 128), jnp.float32),
+            pltpu.VMEM((2, TILE, V), jnp.int32),
+            pltpu.VMEM((5, TILE, V), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, 4)),
+            pltpu.SemaphoreType.DMA((2, 3)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            has_side_effects=True,
+            # the half-tile sampling's one-hot + rows intermediates exceed
+            # the 16 MB default scoped-vmem budget; v5e has headroom
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(nt, meta, img5, table.slot_geo, table.sdf, table.weight, table.color)
+    return table._replace(sdf=sdf, weight=weight, color=color)
+
+
+def apply_tsdf_ops_xla(
+    table: VoxelBlockTable,
+    depths,
+    colors,
+    poses,
+    signs,
+    img_of_op,
+    intr: CameraIntrinsics,
+    params: TsdfParams,
+) -> VoxelBlockTable:
+    """Pure-XLA twin of :func:`apply_tsdf_ops` (CPU path + test oracle).
+
+    Applies the ops sequentially over the full slot range with the same
+    sampling quantization (bf16 hi/lo depth, bf16 color) so results match
+    the kernel bit-for-bit.
+    """
+    N = table.num_blocks
+    key = table.slot_keys[:N]
+    live = key != EMPTY_KEY
+    kx = ((key & (GRID_DIM - 1)) - GRID_HALF).astype(jnp.float32)
+    ky = (((key >> GRID_BITS) & (GRID_DIM - 1)) - GRID_HALF).astype(jnp.float32)
+    kz = (((key >> (2 * GRID_BITS)) & (GRID_DIM - 1)) - GRID_HALF).astype(jnp.float32)
+    lin = jnp.arange(BLOCK_VOLUME, dtype=jnp.int32)
+    lx = (lin % BLOCK_SIZE).astype(jnp.float32)
+    ly = ((lin // BLOCK_SIZE) % BLOCK_SIZE).astype(jnp.float32)
+    lz = (lin // (BLOCK_SIZE * BLOCK_SIZE)).astype(jnp.float32)
+    bs = BLOCK_SIZE * params.voxel_size
+    # per-axis [N, V] world coords (a packed [N, V, 3] array would be
+    # minor-dim padded 3 -> 128 by the TPU layout: 42x the memory)
+    wx = kx[:, None] * bs + (lx[None] + 0.5) * params.voxel_size
+    wy = ky[:, None] * bs + (ly[None] + 0.5) * params.voxel_size
+    wz = kz[:, None] * bs + (lz[None] + 0.5) * params.voxel_size
+
+    H, W = depths.shape[1:]
+    dmax = min(params.depth_max, params.max_integration_distance)
+
+    def _fin(x):
+        return jnp.where(jnp.isfinite(x) & (jnp.abs(x) < 1e30), x, 0.0)
+
+    d_f = _fin(depths)
+    d_hi = d_f.astype(jnp.bfloat16)
+    d_lo = (d_f - d_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    d_q = d_hi.astype(jnp.float32) + d_lo.astype(jnp.float32)
+    c_q = _fin(colors).astype(jnp.bfloat16).astype(jnp.float32)
+
+    def op_body(o, state):
+        sdf, w, col = state
+        T = poses[o]
+        sign = signs[o]
+        img = img_of_op[o]
+        w2c = pose_inverse(T)
+        R, tr = w2c[:3, :3], w2c[:3, 3]
+        px = R[0, 0] * wx + R[0, 1] * wy + R[0, 2] * wz + tr[0]
+        py = R[1, 0] * wx + R[1, 1] * wy + R[1, 2] * wz + tr[1]
+        z = R[2, 0] * wx + R[2, 1] * wy + R[2, 2] * wz + tr[2]
+        u = jnp.round(px / jnp.maximum(z, 1e-6) * intr.fx + intr.cx).astype(jnp.int32)
+        v = jnp.round(py / jnp.maximum(z, 1e-6) * intr.fy + intr.cy).astype(jnp.int32)
+        inb = (u >= 0) & (u < W) & (v >= 0) & (v < H) & (z > 0)
+        uc = jnp.clip(u, 0, W - 1)
+        vc = jnp.clip(v, 0, H - 1)
+        d = d_q[img][vc, uc]
+        # per-channel gathers: a fused [N, V, 3] gather would be minor-dim
+        # padded 3 -> 128 by the TPU layout
+        rgb_r = c_q[img, :, :, 0][vc, uc]
+        rgb_g = c_q[img, :, :, 1][vc, uc]
+        rgb_b = c_q[img, :, :, 2][vc, uc]
+        depth_ok = (d >= params.depth_min) & (d <= dmax)
+        sd = d - z
+        trunc = params.truncation + params.truncation_scale * d
+        upd = inb & depth_ok & (sd > -trunc) & live[:, None]
+        sd_cl = jnp.minimum(sd, trunc)
+        w_new = (upd.astype(jnp.float32) * params.integration_weight_sample) * sign
+        new_w = jnp.clip(w + w_new, 0.0, params.integration_weight_max)
+        applied = new_w - w
+        sum_sdf = sdf * w + jnp.where(upd, sd_cl, 0.0) * applied
+        new_sdf = jnp.where(
+            applied != 0,
+            jnp.where(new_w > 0, sum_sdf / jnp.maximum(new_w, 1e-12), 0.0),
+            sdf,
+        )
+        appc = jnp.where(upd, applied, 0.0)
+        rgb_cm = jnp.concatenate([rgb_r, rgb_g, rgb_b], axis=1)
+        new_col = jnp.maximum(col + rgb_cm * jnp.tile(appc, (1, 3)), 0.0)
+        return new_sdf, new_w, new_col
+
+    sdf, w, col = jax.lax.fori_loop(
+        0,
+        poses.shape[0],
+        op_body,
+        (table.sdf[:N], table.weight[:N], table.color[:N]),
+    )
+    return table._replace(
+        sdf=table.sdf.at[:N].set(sdf),
+        weight=table.weight.at[:N].set(w),
+        color=table.color.at[:N].set(col),
+    )

@@ -126,6 +126,58 @@ def allocate_for_frame(
     return allocate(table, coords, valid)
 
 
+def candidate_keys(
+    depth,
+    intr: CameraIntrinsics,
+    cam_to_world,
+    params: TsdfParams,
+    enabled=None,
+    samples_per_ray: int = 5,
+    stride: int = 4,
+):
+    """Packed candidate block keys along each ray's truncation band.
+
+    Fused fast path of :func:`candidate_blocks` + ``pack_block_coords``:
+    computes the packed 30-bit key directly from world positions with one
+    float multiply + floor per axis (no int32 ``floor_divide``, which has
+    no hardware path on the VPU). Returns [M] int32 with EMPTY_KEY for
+    invalid entries; duplicates arrive in runs, ready for the run-dedup in
+    :func:`bundlefusion_tpu.tsdf.table.allocate_packed`.
+    """
+    from bundlefusion_tpu.tsdf.table import EMPTY_KEY, GRID_BITS, GRID_DIM, GRID_HALF
+
+    d = depth[::stride, ::stride]
+    H, W = d.shape
+    v = (jnp.arange(H, dtype=jnp.float32) * stride)[:, None]
+    u = (jnp.arange(W, dtype=jnp.float32) * stride)[None, :]
+    valid = jnp.isfinite(d) & (d >= params.depth_min) & (
+        d <= jnp.minimum(params.depth_max, params.max_integration_distance)
+    )
+    if enabled is not None:
+        valid = valid & enabled
+    dirx = (u - intr.cx) / intr.fx
+    diry = (v - intr.cy) / intr.fy
+    trunc = truncation_at(params, d)
+    ts = jnp.linspace(-1.0, 1.0, samples_per_ray, dtype=jnp.float32)
+    zs = d[None] + ts[:, None, None] * trunc[None]          # [S, H, W]
+    inv_b = 1.0 / (BLOCK_SIZE * params.voxel_size)
+    R, t = cam_to_world[:3, :3], cam_to_world[:3, 3]
+    # world = R @ (dir * z) + t, expanded per axis to stay fused
+    wx = (R[0, 0] * dirx + R[0, 1] * diry + R[0, 2]) * zs + t[0]
+    wy = (R[1, 0] * dirx + R[1, 1] * diry + R[1, 2]) * zs + t[1]
+    wz = (R[2, 0] * dirx + R[2, 1] * diry + R[2, 2]) * zs + t[2]
+    bx = jnp.floor(wx * inv_b).astype(jnp.int32) + GRID_HALF
+    by = jnp.floor(wy * inv_b).astype(jnp.int32) + GRID_HALF
+    bz = jnp.floor(wz * inv_b).astype(jnp.int32) + GRID_HALF
+    lim = GRID_DIM - 1
+    in_range = (
+        (bx >= 0) & (bx <= lim) & (by >= 0) & (by <= lim) & (bz >= 0) & (bz <= lim)
+    )
+    packed = (bz << (2 * GRID_BITS)) | (by << GRID_BITS) | bx
+    ok = valid[None] & (zs > 0) & in_range
+    return jnp.where(ok, packed, EMPTY_KEY).reshape(-1)
+
+
 # ---------------------------------------------------------------------------
 # Visible-block compactification
 # ---------------------------------------------------------------------------
@@ -246,7 +298,7 @@ def integrate_frame(
 
     old_sdf = table.sdf[slots]
     old_w = table.weight[slots]
-    old_c = table.color[slots]        # [K, 3, V]
+    old_c = table.color[slots]        # [K, 3*V] channel-major
 
     new_w = jnp.clip(old_w + w_new, 0.0, params.integration_weight_max)
     applied_w = new_w - old_w  # actual delta after clamping
@@ -261,9 +313,10 @@ def integrate_frame(
         jnp.where(new_w > 0, sum_sdf / jnp.maximum(new_w, 1e-12), 0.0),
         old_sdf,
     )
-    rgb_cm = jnp.moveaxis(rgb, -1, 1)  # [K, 3, V] channel-major
-    new_c = old_c + jnp.where(upd[:, None, :], rgb_cm, 0.0) * applied_w[:, None, :]
-    new_c = jnp.maximum(new_c, 0.0)
+    K = old_c.shape[0]
+    rgb_cm = jnp.moveaxis(rgb, -1, 1).reshape(K, 3 * BLOCK_VOLUME)
+    appl3 = jnp.tile(jnp.where(upd, applied_w, 0.0), (1, 3))
+    new_c = jnp.maximum(old_c + rgb_cm * appl3, 0.0)
 
     return table._replace(
         sdf=table.sdf.at[slots].set(new_sdf),
@@ -286,34 +339,22 @@ def _use_pallas() -> bool:
 
 @partial(
     jax.jit,
-    static_argnames=("intr", "params", "cap", "use_pallas"),
+    static_argnames=("intr", "params", "cap"),
     donate_argnums=(0,),
 )
-def _integrate_impl(table, depth, color, intr, cam_to_world, params, cap, use_pallas):
+def _integrate_impl(table, depth, color, intr, cam_to_world, params, cap):
     table = allocate_for_frame(table, depth, intr, cam_to_world, params)
     vis, cnt = visible_block_indices(table, intr, cam_to_world, params, cap)
-    if use_pallas:
-        from bundlefusion_tpu.tsdf.integrate_pallas import integrate_frame_pallas
-
-        return integrate_frame_pallas(
-            table, depth, color, intr, cam_to_world, params, vis, 1.0, count=cnt
-        )
     return integrate_frame(table, depth, color, intr, cam_to_world, params, vis, 1.0)
 
 
 @partial(
     jax.jit,
-    static_argnames=("intr", "params", "cap", "use_pallas"),
+    static_argnames=("intr", "params", "cap"),
     donate_argnums=(0,),
 )
-def _deintegrate_impl(table, depth, color, intr, cam_to_world, params, cap, use_pallas):
+def _deintegrate_impl(table, depth, color, intr, cam_to_world, params, cap):
     vis, cnt = visible_block_indices(table, intr, cam_to_world, params, cap)
-    if use_pallas:
-        from bundlefusion_tpu.tsdf.integrate_pallas import integrate_frame_pallas
-
-        return integrate_frame_pallas(
-            table, depth, color, intr, cam_to_world, params, vis, -1.0, count=cnt
-        )
     return integrate_frame(table, depth, color, intr, cam_to_world, params, vis, -1.0)
 
 
@@ -329,11 +370,11 @@ def integrate(
     """Full integrate step: allocate -> compactify -> fuse.
 
     The caller's table buffers are donated (updated in place on device);
-    hold no references to the old table after calling.
+    hold no references to the old table after calling. This is the simple
+    single-op XLA path (tests / offline tooling); the online pipeline uses
+    the fused in-place kernel in ``apply_pallas.py``.
     """
-    return _integrate_impl(
-        table, depth, color, intr, cam_to_world, params, cap, _use_pallas()
-    )
+    return _integrate_impl(table, depth, color, intr, cam_to_world, params, cap)
 
 
 def deintegrate(
@@ -350,6 +391,4 @@ def deintegrate(
     No allocation (blocks must already exist); weights clamp at zero.
     Donates the table like :func:`integrate`.
     """
-    return _deintegrate_impl(
-        table, depth, color, intr, cam_to_world, params, cap, _use_pallas()
-    )
+    return _deintegrate_impl(table, depth, color, intr, cam_to_world, params, cap)

@@ -49,16 +49,36 @@ EMPTY_KEY = jnp.int32(2**31 - 1)
 
 
 class VoxelBlockTable(NamedTuple):
-    """Pytree of arrays holding the sparse TSDF volume."""
+    """Pytree of arrays holding the sparse TSDF volume.
+
+    Beyond the sorted key index, the table keeps a **slot-major inverse map**
+    (``slot_keys``: payload row -> packed block coords) and a ``high_water``
+    occupancy bound. The fused TSDF kernel (``apply_pallas.py``) iterates
+    payload rows ``[0, high_water)`` linearly — sequential DMA at HBM
+    bandwidth, no gather/scatter — reading each row's coordinates from
+    ``slot_keys``. Slots are handed out ascending (and freed slots are reused
+    first), so ``high_water`` stays close to the live block count.
+    """
 
     keys: jax.Array       # int32[capacity], sorted, EMPTY_KEY padded
     slots: jax.Array      # int32[capacity], voxel slot per key
     sdf: jax.Array        # float32[num_blocks + 1, BLOCK_VOLUME] (+1 dummy row)
     weight: jax.Array     # float32[num_blocks + 1, BLOCK_VOLUME]
-    color: jax.Array      # float32[num_blocks + 1, 3, BLOCK_VOLUME] premult. by weight
+    color: jax.Array      # float32[num_blocks + 1, 3 * BLOCK_VOLUME] premultiplied by
+                          # weight, channel-major blocks (r | g | b). Flat 2D
+                          # (not [*, 3, V]) because XLA's TPU layout pads a
+                          # rank-3 [N, 3, V] array's sublane dim 3 -> 8 (2.6x
+                          # HBM waste) and the fused kernel DMAs rows whole.
     free_list: jax.Array  # int32[num_blocks] stack of free slots
     free_count: jax.Array # int32[] number of free slots
     num_alloc_failures: jax.Array  # int32[] overflow accounting
+    slot_keys: jax.Array  # int32[num_blocks + 1] packed coords per slot (EMPTY = unused)
+    slot_geo: jax.Array   # float32[num_blocks + 1, 128]: per-slot block coords
+                          # in block units (lanes 0-2), live flag (lane 3), pad.
+                          # 128-lane rows so the fused kernel DMAs them like
+                          # payload and reads (TILE, 1) vectors — a scalar
+                          # per-block geometry loop measured 40 us/tile.
+    high_water: jax.Array # int32[] upper bound on occupied slot indices
 
     @property
     def capacity(self) -> int:
@@ -75,17 +95,27 @@ def create_table(capacity: int, num_blocks: int) -> VoxelBlockTable:
         slots=jnp.full((capacity,), -1, jnp.int32),
         sdf=jnp.zeros((num_blocks + 1, BLOCK_VOLUME), jnp.float32),
         weight=jnp.zeros((num_blocks + 1, BLOCK_VOLUME), jnp.float32),
-        color=jnp.zeros((num_blocks + 1, 3, BLOCK_VOLUME), jnp.float32),
-        free_list=jnp.arange(num_blocks, dtype=jnp.int32),
+        color=jnp.zeros((num_blocks + 1, 3 * BLOCK_VOLUME), jnp.float32),
+        # pops take the TOP of the stack; descending init hands out slots
+        # 0, 1, 2, ... so occupancy stays a compact prefix (freed slots are
+        # pushed back on top and reused first)
+        free_list=jnp.arange(num_blocks - 1, -1, -1, dtype=jnp.int32),
         free_count=jnp.asarray(num_blocks, jnp.int32),
         num_alloc_failures=jnp.asarray(0, jnp.int32),
+        slot_keys=jnp.full((num_blocks + 1,), EMPTY_KEY, jnp.int32),
+        slot_geo=jnp.zeros((num_blocks + 1, 128), jnp.float32),
+        high_water=jnp.asarray(0, jnp.int32),
     )
 
 
 def color_at(table: VoxelBlockTable, slot, lin):
     """Premultiplied RGB at (block slot, linear voxel index) -> [..., 3]."""
     return jnp.stack(
-        [table.color[slot, 0, lin], table.color[slot, 1, lin], table.color[slot, 2, lin]],
+        [
+            table.color[slot, lin],
+            table.color[slot, BLOCK_VOLUME + lin],
+            table.color[slot, 2 * BLOCK_VOLUME + lin],
+        ],
         axis=-1,
     )
 
@@ -150,11 +180,13 @@ ALLOC_COMPACT = 6144  # deduped-candidate capacity per allocate() call
 
 
 def allocate(table: VoxelBlockTable, candidate_coords, valid_mask) -> VoxelBlockTable:
-    """Insert candidate blocks (dedup, skip existing).
+    """Insert candidate blocks (dedup, skip existing). See allocate_packed."""
+    packed_all = jnp.where(valid_mask, pack_block_coords(candidate_coords), EMPTY_KEY)
+    return allocate_packed(table, packed_all)
 
-    Args:
-      candidate_coords: int32 [M, 3] candidate block coords (may repeat).
-      valid_mask: bool [M].
+
+def allocate_packed(table: VoxelBlockTable, packed_all) -> VoxelBlockTable:
+    """Insert candidate blocks given as packed keys [M] (EMPTY = invalid).
 
     The whole operation is a fixed-shape jittable program: run-dedup +
     compact the candidates, filter out already-present keys, pop free slots,
@@ -164,7 +196,6 @@ def allocate(table: VoxelBlockTable, candidate_coords, valid_mask) -> VoxelBlock
     need no clearing: ``free_blocks`` zeroes payload when a slot is freed,
     so the free list only ever holds zeroed slots.
     """
-    packed_all = jnp.where(valid_mask, pack_block_coords(candidate_coords), EMPTY_KEY)
     # Candidates arrive in image-scan order, so duplicates come in runs
     # (a block's footprint spans ~7 px); dropping consecutive repeats +
     # compacting shrinks the working set ~5x before any search. Distinct
@@ -188,7 +219,7 @@ def allocate(table: VoxelBlockTable, candidate_coords, valid_mask) -> VoxelBlock
     # routing the multi-GB voxel payload through a lax.cond costs full
     # copies.
 
-    def merge(keys0, slots0, free_list0, free_count0, fails0):
+    def merge(keys0, slots0, free_list0, free_count0, fails0, slot_keys0, slot_geo0, hw0):
         packed = jnp.sort(packed_raw)
         uniq = _unique_sorted_mask(packed)
         pos = jnp.clip(jnp.searchsorted(keys0, packed), 0, keys0.shape[0] - 1)
@@ -205,8 +236,6 @@ def allocate(table: VoxelBlockTable, candidate_coords, valid_mask) -> VoxelBlock
         new_slot = jnp.where(
             can_alloc, free_list0[jnp.clip(take_pos, 0, num_blocks - 1)], -1
         )
-        # out-of-range sentinel -> dropped by the scatter (not even dummy)
-        clear_idx = jnp.where(can_alloc, new_slot, num_blocks + 1)
         # merge: concat and re-sort; EMPTY keys sort to the tail, truncated
         new_keys = jnp.where(can_alloc, packed, EMPTY_KEY)
         all_keys = jnp.concatenate([keys0, new_keys])
@@ -217,26 +246,34 @@ def allocate(table: VoxelBlockTable, candidate_coords, valid_mask) -> VoxelBlock
         # capacity overflow check: a real key beyond capacity is dropped
         dropped = jnp.sum((all_keys_sorted[cap:] != EMPTY_KEY).astype(jnp.int32))
         fails = fails0 + (num_new_req - num_new) + dropped
+        # slot-major inverse map + occupancy high-water for the linear kernel
+        scatter_to = jnp.where(can_alloc, new_slot, num_blocks + 1)
+        slot_keys = slot_keys0.at[scatter_to].set(packed, mode="drop")
+        # per-slot geometry rows for the fused kernel: block coords (in
+        # block units — the kernel scales by block size) + live flag
+        coords = unpack_key(packed).astype(jnp.float32)
+        geo_rows = jnp.zeros((packed.shape[0], 128), jnp.float32)
+        geo_rows = geo_rows.at[:, :3].set(coords)
+        geo_rows = geo_rows.at[:, 3].set(1.0)
+        slot_geo = slot_geo0.at[scatter_to].set(geo_rows, mode="drop")
+        hw = jnp.maximum(
+            hw0, jnp.max(jnp.where(can_alloc, new_slot + 1, 0))
+        )
         return (
             all_keys_sorted[:cap],
             all_slots[order][:cap],
             free_list0,
             free_count0 - num_new,
             fails,
-            clear_idx,
+            slot_keys,
+            slot_geo,
+            hw,
         )
 
-    def no_merge(keys0, slots0, free_list0, free_count0, fails0):
-        return (
-            keys0,
-            slots0,
-            free_list0,
-            free_count0,
-            fails0,
-            jnp.full((M,), free_list0.shape[0] + 1, jnp.int32),
-        )
+    def no_merge(keys0, slots0, free_list0, free_count0, fails0, slot_keys0, slot_geo0, hw0):
+        return (keys0, slots0, free_list0, free_count0, fails0, slot_keys0, slot_geo0, hw0)
 
-    keys, slots, free_list, free_count, fails, _clear_idx = jax.lax.cond(
+    keys, slots, free_list, free_count, fails, slot_keys, slot_geo, hw = jax.lax.cond(
         num_missing > 0,
         merge,
         no_merge,
@@ -245,6 +282,9 @@ def allocate(table: VoxelBlockTable, candidate_coords, valid_mask) -> VoxelBlock
         table.free_list,
         table.free_count,
         table.num_alloc_failures,
+        table.slot_keys,
+        table.slot_geo,
+        table.high_water,
     )
     return table._replace(
         keys=keys,
@@ -252,6 +292,9 @@ def allocate(table: VoxelBlockTable, candidate_coords, valid_mask) -> VoxelBlock
         free_list=free_list,
         free_count=free_count,
         num_alloc_failures=fails,
+        slot_keys=slot_keys,
+        slot_geo=slot_geo,
+        high_water=hw,
     )
 
 
@@ -304,6 +347,11 @@ def free_blocks(table: VoxelBlockTable, free_mask) -> VoxelBlockTable:
         jnp.where(free_mask & (frank < FREE_COMPACT), frank, FREE_COMPACT)
     ].set(jnp.where(free_mask, table.slots, table.num_blocks + 1), mode="drop")
     uncleared = jnp.maximum(num_free - FREE_COMPACT, 0)
+    # freed slots leave the slot-major inverse map (all freed slots, not just
+    # the payload-cleared prefix: the linear kernel must skip them)
+    freed_to = jnp.where(free_mask, table.slots, table.num_blocks + 1)
+    slot_keys = table.slot_keys.at[freed_to].set(EMPTY_KEY, mode="drop")
+    slot_geo = table.slot_geo.at[freed_to].set(0.0, mode="drop")
     return table._replace(
         keys=keys,
         slots=slots,
@@ -313,6 +361,8 @@ def free_blocks(table: VoxelBlockTable, free_mask) -> VoxelBlockTable:
         weight=table.weight.at[freed].set(0.0, mode="drop"),
         color=table.color.at[freed].set(0.0, mode="drop"),
         num_alloc_failures=table.num_alloc_failures + uncleared,
+        slot_keys=slot_keys,
+        slot_geo=slot_geo,
     )
 
 
@@ -332,7 +382,7 @@ def starve(table: VoxelBlockTable, amount: float = 1.0) -> VoxelBlockTable:
     """Decay all voxel weights (reference ``starveVoxelsKernel``)."""
     w = jnp.maximum(table.weight - amount, 0.0)
     scale = jnp.where(table.weight > 0, w / jnp.maximum(table.weight, 1e-12), 0.0)
-    return table._replace(weight=w, color=table.color * scale[:, None, :])
+    return table._replace(weight=w, color=table.color * jnp.tile(scale, (1, 3)))
 
 
 def num_occupied(table: VoxelBlockTable):
@@ -366,4 +416,12 @@ def check_invariants(table: VoxelBlockTable) -> dict:
     # a slot must not be both free and occupied
     errs["free_occupied_overlap"] = int(len(np.intersect1d(fl, occupied_slots)))
     errs["duplicate_free_slots"] = int(free_count - len(np.unique(fl)))
+    # slot-major inverse map must mirror the key table exactly
+    slot_keys = np.asarray(table.slot_keys)
+    expect = np.full_like(slot_keys, int(EMPTY_KEY))
+    expect[occupied_slots] = occupied_keys
+    errs["slot_keys_mismatch"] = int((slot_keys != expect).sum())
+    errs["high_water"] = int(
+        n_occ > 0 and int(table.high_water) < occupied_slots.max() + 1
+    )
     return errs

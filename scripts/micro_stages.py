@@ -83,7 +83,7 @@ tab1 = allocate_for_frame(jax.tree.map(jnp.copy, eng.table), depth_int, eng.intr
 timeit("tsdf visible_block_indices", lambda: visible_block_indices(tab1, eng.intr_int, T, tp, cap))
 vis, _ = visible_block_indices(tab1, eng.intr_int, T, tp, cap)
 if _use_pallas():
-    from bundlefusion_tpu.tsdf.integrate_pallas import integrate_frame_pallas
+    from bundlefusion_tpu.tsdf.apply_pallas import apply_tsdf_ops  # noqa: F401
     timeit("tsdf integrate_frame_pallas", lambda: integrate_frame_pallas(
         jax.tree.map(jnp.copy, tab1), depth_int, color_int, eng.intr_int, T, tp, vis, 1.0))
 timeit("tsdf integrate_frame (XLA)", lambda: integrate_frame(

@@ -17,7 +17,7 @@ from bundlefusion_tpu.io.synthetic import default_intrinsics, make_sequence
 from bundlefusion_tpu.ops.sift import SiftConfig
 from bundlefusion_tpu.pipeline.online import BundleFusion
 
-n_frames = 36
+n_frames = 48
 intr = default_intrinsics(640, 480)
 app = AppConfig(
     hash_num_sdf_blocks=131072,
@@ -32,7 +32,7 @@ sift_cfg = SiftConfig(
 seq = make_sequence(n_frames, intr=intr)
 eng = BundleFusion(intr, app, bundling, sift_cfg=sift_cfg, max_keyframes=64)
 
-warm = 12
+warm = 26
 for i in range(warm):
     eng.process_frame(seq["depth"][i], seq["color"][i])
 # reset timing after warmup

@@ -77,7 +77,7 @@ def test_integrate_deintegrate_inverse(frame0):
     # where weight > 0, sdf must match
     m = w0 > 0
     np.testing.assert_allclose(sdf1[m], sdf0[m], atol=1e-3)
-    mc = np.broadcast_to(m[:, None, :], c1.shape)  # color is [N, 3, V]
+    mc = np.tile(m, (1, 3))  # color is [N, 3*V] channel-major
     np.testing.assert_allclose(c1[mc], c0[mc], atol=1e-3)
 
 
