@@ -82,8 +82,8 @@ def kabsch_filter_pair(
     """
     R = src_pts.shape[0]
 
-    def body(i, state):
-        inlier, count, T, maxres, validT = state
+    def body(state):
+        i, inlier, count, T, maxres, validT = state
         cand_ok = valid[i] & (count < max_filtered)
         # pixel-distance dedup vs current inliers (either image)
         d_s = jnp.linalg.norm(pix_src - pix_src[i], axis=-1)
@@ -111,16 +111,26 @@ def kabsch_filter_pair(
         T = jnp.where(accept & (n_new >= 3), T_new, T)
         maxres = jnp.where(accept & (n_new >= 3), maxres_new, maxres)
         validT = jnp.where(accept & (n_new >= 3), cond_ok, validT)
-        return inlier, count, T, maxres, validT
+        return i + 1, inlier, count, T, maxres, validT
+
+    def cont(state):
+        # early exit like the reference's candidate loop (cuda_kabsch.h:430:
+        # while curFiltered < maxFiltered && more matches): matches arrive
+        # sorted with invalid entries at the tail, so the first invalid one
+        # ends the scan. Under vmap this runs until the LAST pair finishes —
+        # typically ~30 steps instead of R=128.
+        i, _, count, *_ = state
+        return (i < R) & (count < max_filtered) & valid[jnp.minimum(i, R - 1)]
 
     init = (
+        jnp.asarray(0, jnp.int32),
         jnp.zeros((R,), bool),
         jnp.asarray(0, jnp.int32),
         jnp.eye(4, dtype=jnp.float32),
         jnp.asarray(100.0, jnp.float32),
         jnp.asarray(False),
     )
-    inlier, count, T, maxres, validT = jax.lax.fori_loop(0, R, body, init)
+    _, inlier, count, T, maxres, validT = jax.lax.while_loop(cont, body, init)
     valid_pair = (count >= min_num_matches) & (maxres < max_res2) & validT
     inlier = inlier & valid_pair
     return {

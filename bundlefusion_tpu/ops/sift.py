@@ -174,7 +174,13 @@ def _detect_octave(dog, cfg: SiftConfig, octave: int):
     resp = jnp.stack(resp_all)  # [S, H, W]
     flat = resp.reshape(-1)
     C = cfg.max_candidates_per_octave
-    top_resp, top_idx = jax.lax.top_k(flat, C)
+    if flat.shape[0] > 8 * C and jax.default_backend() == "tpu":
+        # TPU-native approximate top-k: exact top_k over ~1M elements costs
+        # milliseconds; candidate selection tolerates the ~1% recall loss
+        # (the response threshold governs quality, not exact ordering)
+        top_resp, top_idx = jax.lax.approx_max_k(flat, C, recall_target=0.99)
+    else:
+        top_resp, top_idx = jax.lax.top_k(flat, C)
     s_idx = top_idx // (Hh * Ww) + 1
     rem = top_idx % (Hh * Ww)
     yy = rem // Ww

@@ -64,7 +64,7 @@ from bundlefusion_tpu.tsdf.table import (
 )
 
 V = BLOCK_VOLUME                  # 512
-TILE = 16                         # payload rows per DMA chunk
+TILE = 32                         # payload rows per DMA chunk
 WIN = 64                          # u-window columns for MXU sampling
 
 

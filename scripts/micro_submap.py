@@ -77,11 +77,16 @@ timeit("FULL submap_step", lambda: eng._submap_step(
 d16, c8 = eng._to_wire(seq["depth"][0], seq["color"][0])
 timeit("FULL frame_step", lambda: eng._frame_step(
     jnp.asarray(d16), jnp.asarray(c8), jax.tree.map(jnp.copy, eng.local),
-    jax.tree.map(jnp.copy, eng.table), jax.tree.map(jnp.copy, eng.store),
+    jax.tree.map(jnp.copy, eng.store),
     eng.submap_base, jnp.asarray(3, jnp.int32), jnp.asarray(40, jnp.int32)), n=5)
 
-# reintegrate row
-timeit("reintegrate_row (op=2)", lambda: eng._reintegrate_row(
-    jax.tree.map(jnp.copy, eng.table), eng.store, jnp.asarray(5, jnp.int32),
-    jnp.asarray(np.eye(4, dtype=np.float32)), jnp.asarray(np.eye(4, dtype=np.float32)),
-    jnp.asarray(2, jnp.int32)), n=5)
+timeit("tsdf_fast (alloc+kernel, OPS=1)", lambda: eng._tsdf_fast(
+    jax.tree.map(jnp.copy, eng.table), eng.store, jnp.asarray(40, jnp.int32),
+    jnp.asarray(np.eye(4, dtype=np.float32)), jnp.asarray(True)), n=5)
+
+eyeb = jnp.broadcast_to(jnp.eye(4, dtype=jnp.float32), (5, 4, 4))
+timeit("tsdf_rows (5 rows + cur)", lambda: eng._tsdf_rows(
+    jax.tree.map(jnp.copy, eng.table), eng.store,
+    jnp.arange(5, dtype=jnp.int32), eyeb, eyeb,
+    jnp.full((5,), 2, jnp.int32), jnp.asarray(40, jnp.int32),
+    jnp.asarray(np.eye(4, dtype=np.float32)), jnp.asarray(True)), n=3)
