@@ -245,13 +245,30 @@ def _proj_error_one_way(
     inb = (u >= 0) & (u < intr.width) & (v >= 0) & (v < intr.height) & (z > 0)
     uc = jnp.clip(u, 0, intr.width - 1)
     vc = jnp.clip(v, 0, intr.height - 1)
-    ptgt = md_campos[vc, uc]
-    ntgt = md_normal[vc, uc]
-    dtgt = md_depth[vc, uc]
+    # one-hot MXU resample instead of per-pixel gathers (the gathers
+    # dominated verification cost on TPU); sanitize before stacking
+    from bundlefusion_tpu.ops.resample import onehot_gather2d
+
+    ok_md = (
+        jnp.isfinite(md_campos).all(-1)
+        & jnp.isfinite(md_normal).all(-1)
+        & jnp.isfinite(md_depth)
+    )
+    stack_md = jnp.concatenate(
+        [
+            jnp.moveaxis(jnp.where(ok_md[..., None], md_campos, 0.0), -1, 0),
+            jnp.moveaxis(jnp.where(ok_md[..., None], md_normal, 0.0), -1, 0),
+            jnp.where(ok_md, md_depth, 0.0)[None],
+            ok_md[None].astype(jnp.float32),
+        ],
+        axis=0,
+    )  # [8, H, W]
+    smp = onehot_gather2d(stack_md, vc, uc, inb)
+    ptgt = smp[..., 0:3]
+    ntgt = smp[..., 3:6]
+    dtgt = smp[..., 6]
     ok_tgt = (
-        jnp.isfinite(ptgt).all(-1)
-        & jnp.isfinite(ntgt).all(-1)
-        & jnp.isfinite(dtgt)
+        (smp[..., 7] > 0.5)
         & (dtgt >= p.depth_min)
         & (dtgt <= p.depth_max)
     )

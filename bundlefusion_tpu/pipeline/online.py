@@ -299,8 +299,22 @@ class BundleFusion:
         self.max_retry_attempts = 10
         self.timing = TimingLog()
         self.lost_count = 0
+        # device-resident constant cache: every host->device upload through
+        # the runtime tunnel costs ~0.3-1 ms, so small per-frame scalars are
+        # uploaded once and reused
+        self._dev_i32 = {}
+        self._dev_eye = jnp.eye(4, dtype=jnp.float32)
+        self._dev_true = jnp.asarray(True)
+        self._dev_false = jnp.asarray(False)
 
         self._build_programs()
+
+    # ------------------------------------------------------------------
+    def _i32(self, v: int):
+        r = self._dev_i32.get(v)
+        if r is None:
+            r = self._dev_i32[v] = jnp.asarray(v, jnp.int32)
+        return r
 
     # ------------------------------------------------------------------
     def _fresh_local(self) -> LocalState:
@@ -439,12 +453,17 @@ class BundleFusion:
                 jnp.zeros((1,), jnp.int32),
             )
 
-        def tsdf_rows(table, store: FrameStore, row_fids, T_olds, T_news,
-                      row_ops, fid_cur, T_cur, cur_valid):
+        def tsdf_rows(table, store: FrameStore, packed, fid_cur, T_cur,
+                      cur_valid):
             """Re-integration frame: up to R rows (de/re/int ops,
             ``DepthSensing.cpp: reintegrate():854-902``) + the current
             frame's fuse, in ONE batched allocation + ONE kernel sweep.
-            row_ops: 0=skip, 1=de-integrate, 2=de+re, 3=integrate."""
+            ``packed`` [R, 34] = fid | op | T_old flat | T_new flat per row
+            (op: 0=skip, 1=de-integrate, 2=de+re, 3=integrate) — one upload."""
+            row_fids = packed[:, 0].astype(jnp.int32)
+            row_ops = packed[:, 1].astype(jnp.int32)
+            T_olds = packed[:, 2:18].reshape(R, 4, 4)
+            T_news = packed[:, 18:34].reshape(R, 4, 4)
             fids = jnp.concatenate([row_fids, fid_cur[None]])
             depths, colors = _decode_rows(store, fids)     # [R+1, ...]
             de_en = (row_ops == 1) | (row_ops == 2)
@@ -714,8 +733,8 @@ class BundleFusion:
                 self.local,
                 self.store,
                 self.submap_base,
-                jnp.asarray(cur_slot, jnp.int32),
-                jnp.asarray(store_slot, jnp.int32),
+                self._i32(cur_slot),
+                self._i32(store_slot),
             )
 
         # ---- fused TSDF dispatch: re-integration budget + current frame
@@ -794,7 +813,7 @@ class BundleFusion:
             self.local,
             self.glob,
             jnp.asarray(self.keyframe_valid),
-            jnp.asarray(g, jnp.int32),
+            self._i32(g),
             self.submap_base,
             last_world_dev,
         )
@@ -948,7 +967,7 @@ class BundleFusion:
             self.table = self._tsdf_fast(
                 self.table,
                 self.store,
-                jnp.asarray(store_slot, jnp.int32),
+                self._i32(store_slot),
                 T_world_dev,
                 valid_dev,
             )
@@ -956,29 +975,27 @@ class BundleFusion:
 
         rows = rows[:R]
         eye = np.eye(4, dtype=np.float32)
-        fids = np.zeros(R, np.int32)
-        ops = np.zeros(R, np.int32)
-        T_olds = np.tile(eye, (R, 1, 1))
-        T_news = np.tile(eye, (R, 1, 1))
+        # single packed upload per frame (each separate host->device array
+        # costs a tunnel round trip): [fid, op, T_old flat 16, T_new flat 16]
+        packed = np.zeros((R, 34), np.float32)
+        packed[:, 2:18] = eye.reshape(-1)
+        packed[:, 18:34] = eye.reshape(-1)
         for i, (f, mode, To, Tn) in enumerate(rows):
-            fids[i] = f
-            ops[i] = mode
-            T_olds[i] = To
-            T_news[i] = Tn
+            packed[i, 0] = f
+            packed[i, 1] = mode
+            packed[i, 2:18] = To.reshape(-1)
+            packed[i, 18:34] = Tn.reshape(-1)
         if has_cur:
-            fid_cur = jnp.asarray(store_slot, jnp.int32)
+            fid_cur = self._i32(store_slot)
             T_cur, cur_valid = T_world_dev, valid_dev
         else:
-            fid_cur = jnp.asarray(0, jnp.int32)
-            T_cur = jnp.asarray(eye)
-            cur_valid = jnp.asarray(False)
+            fid_cur = self._i32(0)
+            T_cur = self._dev_eye
+            cur_valid = self._dev_false
         self.table = self._tsdf_rows(
             self.table,
             self.store,
-            jnp.asarray(fids),
-            jnp.asarray(T_olds),
-            jnp.asarray(T_news),
-            jnp.asarray(ops),
+            jnp.asarray(packed),
             fid_cur,
             T_cur,
             cur_valid,

@@ -140,11 +140,27 @@ def _pair_residuals(pose_i, pose_j, campos_i, normal_i, inten_i,
     ui = jnp.clip(jnp.round(u).astype(jnp.int32), 0, intr.width - 1)
     vi = jnp.clip(jnp.round(v).astype(jnp.int32), 0, intr.height - 1)
     inb = (u >= 0) & (u <= intr.width - 1) & (v >= 0) & (v <= intr.height - 1) & (z > 0)
-    pt = campos_j[vi, ui]
-    nt = normal_j[vi, ui]
-    fin_j = fin_j_img[vi, ui]
-    it_ = inten_j[vi, ui]
-    gt_ = grad_j[vi, ui]
+    # projective association via one-hot MXU resample (per-pixel gathers
+    # are the dominant solver cost on TPU); samples are constants wrt the
+    # poses within a GN iteration, exactly like the reference's Jacobian
+    from bundlefusion_tpu.ops.resample import onehot_gather2d
+
+    stack_j = jnp.concatenate(
+        [
+            jnp.moveaxis(campos_j, -1, 0),
+            jnp.moveaxis(normal_j, -1, 0),
+            inten_j[None],
+            jnp.moveaxis(grad_j, -1, 0),
+            fin_j_img[None].astype(jnp.float32),
+        ],
+        axis=0,
+    )  # [10, H, W]
+    smp = onehot_gather2d(stack_j, vi, ui, inb)
+    pt = smp[..., 0:3]
+    nt = smp[..., 3:6]
+    it_ = smp[..., 6]
+    gt_ = smp[..., 7:9]
+    fin_j = smp[..., 9] > 0.5
     d = jnp.sqrt(jnp.sum((q - pt) ** 2, -1) + 1e-18)
     dn = jnp.sum(nq * nt, -1)
     valid = (

@@ -64,7 +64,11 @@ from bundlefusion_tpu.tsdf.table import (
 )
 
 V = BLOCK_VOLUME                  # 512
-TILE = 32                         # payload rows per DMA chunk
+TILE = 128                        # payload rows per DMA chunk (fewer, larger
+                                  # DMAs: the per-tile issue/loop overhead on
+                                  # the scalar core was the measured floor)
+HT = 32                           # sampling chunk rows (bounds the one-hot
+                                  # and rows transients to ~36 MB VMEM)
 WIN = 64                          # u-window columns for MXU sampling
 
 
@@ -73,7 +77,8 @@ def _apply_kernel(
     nt_ref,       # (1, 1) int32: number of TILE chunks to sweep
     meta_ref,     # (OPS, 16) f32: R row-major (9) | t (3) | sign | img | 0 | 0
     # VMEM inputs
-    img5_ref,     # (IMGS*W, 5*HP) bf16: d_hi | d_lo | r | g | b, transposed
+    img5_ref,     # (IMGS*5*W, HP) bf16: per image d_hi | d_lo | r | g | b
+                  # planes, each transposed [W, HP]
     # ANY (HBM): per-slot geometry rows (block coords + live flag)
     geo_any,      # (N + 1, 128) f32
     # ANY (HBM) inputs, aliased to outputs
@@ -202,10 +207,10 @@ def _apply_kernel(
                 u = jnp.round(px / zs * fx + cx).astype(jnp.int32)   # (TILE, V)
                 v = jnp.round(py / zs * fy + cy).astype(jnp.int32)
                 inb = (u >= 0) & (u < W) & (v >= 0) & (v < H) & (pz > 0) & LIVE
-                # stage through scratch: computed arrays cannot be
-                # dynamically sliced in mosaic, refs can
-                uvb[0] = u
-                uvb[1] = v
+                # stage MASKED coords through scratch (computed arrays
+                # cannot be dynamically sliced in mosaic, refs can)
+                uvb[0] = jnp.where(inb, u, -1)
+                uvb[1] = jnp.where(inb, v, -1)
 
                 def no_hit(cry3):
                     return cry3
@@ -219,58 +224,75 @@ def _apply_kernel(
 
             def apply_tile(cry2, inb, pz, img, sign):
                 sdf, w, r_, g_, b_ = cry2
-                u = uvb[0]
-                v = uvb[1]
 
-                # ---- whole-tile one-hot sampling ----
-                # All TILE*V voxels sample in ONE set of MXU contractions
-                # (no per-block loop, no sublane->lane relayouts). One-hot
+                # ---- chunked one-hot sampling ----
+                # HT rows (HT*V voxels) sample per MXU contraction set; no
+                # per-block loop, no sublane->lane relayouts. One-hot
                 # selection keeps everything exact even in bf16: every
-                # reduction has exactly one nonzero addend.
-                vm = jnp.where(inb, v, -1)
-                um_all = jnp.where(inb, u, -1)
-                min_u = jnp.min(jnp.where(inb, u, W))
-                max_u = jnp.max(jnp.where(inb, u, 0))
-                u0w = jnp.clip(min_u & ~7, 0, W - WIN)
-                fits = max_u < u0w + WIN
-                HT = TILE // 2  # sampling runs in half-tiles to bound VMEM
+                # reduction has exactly one nonzero addend. Each chunk
+                # picks its own 64-column u-window (full-width fallback for
+                # chunks very close to the camera / spread wide).
+                def samp_chunk(off, width, u0, u_ids, um_c, vm_c):
+                    oh_v = (
+                        (v_ids == vm_c[:, :, None])
+                        .astype(jnp.bfloat16)
+                        .reshape(HT * V, HP)
+                    )
+                    oh_u = (
+                        (u_ids == (um_c - u0)[:, :, None])
+                        .astype(jnp.bfloat16)
+                        .reshape(HT * V, width)
+                    )
+                    for ch in range(5):
+                        win = img5_ref[
+                            pl.ds((img * 5 + ch) * W + u0, width), :
+                        ]  # [width, HP]
+                        rows = jnp.dot(
+                            oh_u,
+                            win,
+                            preferred_element_type=jnp.float32,
+                            precision=jax.lax.Precision.DEFAULT,
+                        ).astype(jnp.bfloat16)  # [HT*V, HP]; exact — every
+                        # accumulation has ONE nonzero bf16 addend, so the
+                        # f32->bf16 downcast reproduces the sampled value
+                        val = jnp.sum(
+                            rows * oh_v, axis=1, keepdims=True
+                        )  # [HT*V, 1] bf16, exact for the same reason
+                        samp[ch, pl.ds(off, HT)] = val.astype(jnp.float32).reshape(HT, V)
 
-                def samp_with(width, u0, u_ids):
-                    win = img5_ref[pl.ds(img * W + u0, width), :]
-                    for h in range(2):
-                        sl = slice(h * HT, (h + 1) * HT)
-                        oh_v = (
-                            (v_ids == vm[sl][:, :, None])
-                            .astype(jnp.bfloat16)
-                            .reshape(HT * V, HP)
-                        )
-                        oh_u = (
-                            (u_ids == (um_all[sl] - u0)[:, :, None])
-                            .astype(jnp.bfloat16)
-                            .reshape(HT * V, width)
-                        )
+                def chunk_body(h, _):
+                    off = pl.multiple_of(h * HT, HT)
+                    um_c = uvb[0, pl.ds(off, HT)]   # (HT, V), -1 = invalid
+                    vm_c = uvb[1, pl.ds(off, HT)]
+                    anyv = jnp.any(um_c >= 0)
+
+                    def go():
+                        min_u = jnp.min(jnp.where(um_c >= 0, um_c, W))
+                        max_u = jnp.max(um_c)
+                        u0w = jnp.clip(min_u & ~7, 0, W - WIN)
+                        fits = max_u < u0w + WIN
+
+                        @pl.when(fits)
+                        def _():
+                            samp_chunk(off, WIN, pl.multiple_of(u0w, 8),
+                                       u_ids_win, um_c, vm_c)
+
+                        @pl.when(jnp.logical_not(fits))
+                        def _():
+                            samp_chunk(off, W, jnp.int32(0),
+                                       u_ids_full, um_c, vm_c)
+
+                    @pl.when(anyv)
+                    def _():
+                        go()
+
+                    @pl.when(jnp.logical_not(anyv))
+                    def _():
                         for ch in range(5):
-                            rows = jnp.dot(
-                                oh_u,
-                                win[:, ch * HP : (ch + 1) * HP],
-                                preferred_element_type=jnp.float32,
-                                precision=jax.lax.Precision.DEFAULT,
-                            ).astype(jnp.bfloat16)  # [HT*V, HP]; exact —
-                            # every accumulation has ONE nonzero bf16
-                            # addend, so the f32->bf16 downcast reproduces
-                            # the sampled value
-                            val = jnp.sum(
-                                rows * oh_v, axis=1, keepdims=True
-                            )  # [HT*V, 1] bf16, exact for the same reason
-                            samp[ch, sl] = val.astype(jnp.float32).reshape(HT, V)
+                            samp[ch, pl.ds(off, HT)] = jnp.zeros((HT, V))
+                    return 0
 
-                @pl.when(fits)
-                def _():
-                    samp_with(WIN, pl.multiple_of(u0w, 8), u_ids_win)
-
-                @pl.when(jnp.logical_not(fits))
-                def _():
-                    samp_with(W, jnp.int32(0), u_ids_full)
+                jax.lax.fori_loop(0, TILE // HT, chunk_body, 0)
 
                 d = samp[0] + samp[1]   # hi + lo (selection is linear)
                 depth_ok = (d >= depth_min) & (d <= depth_max)
@@ -338,7 +360,11 @@ def _apply_kernel(
 
 def pack_img5(depth, color):
     """One frame -> the kernel's transposed 5-channel sample image
-    [W, 5*HP] bf16 (d_hi | d_lo | r | g | b). Non-finite pixels zero."""
+    [5, W, HP] bf16 (d_hi | d_lo | r | g | b). Non-finite pixels zero.
+
+    One stacked bf16 transpose (per-channel ``ch.T`` + concat cost ~5 ms
+    per frame in relayouts on TPU; this form costs well under 1 ms).
+    """
     H, W = depth.shape
     HP = ((H + 127) // 128) * 128
 
@@ -348,12 +374,12 @@ def pack_img5(depth, color):
     d_f = _fin(depth)
     d_hi = d_f.astype(jnp.bfloat16)
     d_lo = (d_f - d_hi.astype(jnp.float32)).astype(jnp.bfloat16)
-    chans = [d_hi, d_lo] + [
-        _fin(color[..., ch]).astype(jnp.bfloat16) for ch in range(3)
-    ]
-    return jnp.concatenate(
-        [jnp.pad(ch.T, ((0, 0), (0, HP - H))) for ch in chans], axis=1
-    )
+    c_q = _fin(color).astype(jnp.bfloat16)
+    stack = jnp.stack(
+        [d_hi, d_lo, c_q[..., 0], c_q[..., 1], c_q[..., 2]]
+    )  # [5, H, W]
+    t = jnp.transpose(stack, (0, 2, 1))  # [5, W, H], one relayout
+    return jnp.pad(t, ((0, 0), (0, 0), (0, HP - H)))
 
 
 def apply_tsdf_ops(
@@ -382,8 +408,9 @@ def apply_tsdf_ops(
     assert N % TILE == 0, "num_blocks must be a multiple of the DMA tile"
 
     img5 = jax.vmap(pack_img5)(depths, colors).reshape(
-        IMGS * W, 5 * HP
-    )  # flattened so the kernel's image+window select is one dynamic slice
+        IMGS * 5 * W, HP
+    )  # flattened so the kernel's (image, channel, window) select is one
+    # dynamic sublane slice
 
     w2c = jax.vmap(pose_inverse)(poses)
     meta = jnp.concatenate(
