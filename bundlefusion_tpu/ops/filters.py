@@ -12,8 +12,10 @@ Notes on fidelity:
   condition-number degeneracy checks at 100). The reference's inner
   "strip-worst-until-ok" loop is replaced by accept/reject of each candidate
   against the current consensus — same contract (<= 25 inliers + rigid
-  transform or rejection), fully maskable; accuracy is validated against a
-  NumPy port of the reference CPU filter in tests.
+  transform or rejection), fully maskable; validated against the NumPy
+  oracle port of the reference CPU filter (``tests/oracles/match_filter.py``,
+  mirroring ``SIFTMatchFilter::filterKeyPointMatches``) plus behavioral
+  recover/reject tests in ``tests/test_filters.py``.
 - Surface-area: 3D PCA of matched points, project to dominant plane, 2D PCA
   oriented-bounding-box area; pair rejected iff BOTH images' areas fall
   below the threshold (0.032).
@@ -59,6 +61,22 @@ def _cov_cond(pts, w):
     return jnp.abs(ev[2] / jnp.where(jnp.abs(ev[1]) > 1e-12, ev[1], 1e-12))
 
 
+def _cross_cov_cond(src, tgt, w):
+    """sigma1/sigma2 of the weighted Kabsch cross-covariance (the
+    reference's ``c1`` condition, cuda_kabschReference.h:418)."""
+    fin = jnp.isfinite(src).all(-1) & jnp.isfinite(tgt).all(-1)
+    w = jnp.where(fin, w, 0.0)
+    src = jnp.where(w[:, None] > 0, src, 0.0)
+    tgt = jnp.where(w[:, None] > 0, tgt, 0.0)
+    wn = w / (jnp.sum(w) + 1e-12)
+    mu_s = jnp.sum(src * wn[:, None], 0)
+    mu_t = jnp.sum(tgt * wn[:, None], 0)
+    H = ((src - mu_s) * wn[:, None]).T @ (tgt - mu_t)
+    ev = sym3_eigenvalues(H.T @ H)  # ascending; singular values^2
+    s2 = jnp.sqrt(jnp.maximum(ev, 0.0))
+    return jnp.abs(s2[2] / jnp.where(s2[1] > 1e-12, s2[1], 1e-12))
+
+
 def kabsch_filter_pair(
     src_pts,
     tgt_pts,
@@ -75,12 +93,35 @@ def kabsch_filter_pair(
       src_pts/tgt_pts: [R, 3] back-projected keypoint positions of the raw
         matches, sorted ascending by descriptor distance.
       pix_src/pix_tgt: [R, 2] pixel positions (for the 5 px dedup).
-      valid: [R] raw-match validity.
+      valid: [R] raw-match validity. MUST be prefix-contiguous (all True
+        entries before the first False): the early-exit scan stops at the
+        first invalid entry, exactly like the reference's candidate loop.
+        ``matching.py`` guarantees this (top-k sorts invalid entries to the
+        tail); any other caller must too.
 
     Returns dict with ``inlier_mask`` [R], ``count``, ``transform`` (4x4
     src->tgt), ``valid_pair``.
     """
     R = src_pts.shape[0]
+
+    def _geo(mask):
+        """Fit + stats of the masked consensus: (T, residuals[R], maxres,
+        cond_ok). Residuals are squared, under the new fit."""
+        w = mask.astype(jnp.float32)
+        T_new, _ = kabsch_fast(src_pts, tgt_pts, w)
+        res = jnp.sum(
+            (src_pts @ T_new[:3, :3].T + T_new[:3, 3] - tgt_pts) ** 2, -1
+        )
+        maxres = jnp.max(jnp.where(mask, res, -jnp.inf))
+        c1 = _cross_cov_cond(src_pts, tgt_pts, w)
+        c_src = _cov_cond(src_pts, w)
+        c_tgt = _cov_cond(tgt_pts, w)
+        cond_ok = (
+            (c1 < CONDITION_THRESH)
+            & (c_src < CONDITION_THRESH)
+            & (c_tgt < CONDITION_THRESH)
+        )
+        return T_new, res, maxres, cond_ok
 
     def body(state):
         i, inlier, count, T, maxres, validT = state
@@ -91,34 +132,73 @@ def kabsch_filter_pair(
         dup = jnp.any(inlier & ((d_s <= PIXEL_DIST_THRESH) | (d_t <= PIXEL_DIST_THRESH)))
         cand_ok = cand_ok & ~dup
 
-        tentative = inlier.at[i].set(True)
-        w = tentative.astype(jnp.float32)
-        n_new = count + 1
-        T_new, _ = kabsch_fast(src_pts, tgt_pts, w)
-        res = jnp.sum(
-            (src_pts @ T_new[:3, :3].T + T_new[:3, 3] - tgt_pts) ** 2, -1
-        )
-        maxres_new = jnp.max(jnp.where(tentative, res, -jnp.inf))
-        c_src = _cov_cond(src_pts, w)
-        c_tgt = _cov_cond(tgt_pts, w)
-        cond_ok = (c_src < CONDITION_THRESH) & (c_tgt < CONDITION_THRESH)
-        geo_ok = (maxres_new < max_res2) & cond_ok
-        # fewer than 3 matches: no geometric check possible yet
-        accept = cand_ok & jnp.where(n_new >= 3, geo_ok, True)
+        def add_and_strip(args):
+            """Reference semantics (cuda_kabschReference.h:458-496): always
+            add the candidate, refit; while the max residual exceeds the
+            bound, strip the worst inlier and refit — reverting the last
+            removal if stripping down to 3 made things worse."""
+            inlier, count, T, maxres, validT = args
+            tentative = inlier.at[i].set(True)
+            n_new = count + 1
 
-        inlier = jnp.where(accept, tentative, inlier)
-        count = jnp.where(accept, n_new, count)
-        T = jnp.where(accept & (n_new >= 3), T_new, T)
-        maxres = jnp.where(accept & (n_new >= 3), maxres_new, maxres)
-        validT = jnp.where(accept & (n_new >= 3), cond_ok, validT)
+            def lt3(a):
+                # fewer than 3: accept without geometric checking
+                return tentative, n_new, T, maxres, validT
+
+            def ge3(a):
+                T1, res1, m1, ok1 = _geo(tentative)
+                # snapshot of the post-add fit: restored if stripping fails
+                b, prev_T = ok1, T1
+
+                def rm_cond(s):
+                    mask, n, T, mres, okT, stop = s
+                    return (mres > max_res2) & (n > 3) & ~stop
+
+                def rm_body(s):
+                    mask, n, T, mres, okT, stop = s
+                    # worst inlier under the current fit
+                    res = jnp.sum(
+                        (src_pts @ T[:3, :3].T + T[:3, 3] - tgt_pts) ** 2, -1
+                    )
+                    worst = jnp.argmax(jnp.where(mask, res, -jnp.inf))
+                    mask2 = mask.at[worst].set(False)
+                    n2 = n - 1
+                    T2, _, m2, ok2 = _geo(mask2)
+                    # reference revert rule: stripping to 3 and it's still
+                    # bad (or killed a previously-valid fit) -> restore the
+                    # post-add state and stop
+                    revert = (n2 == 3) & ((m2 > max_res2) | (b & ~ok2))
+                    mask_o = jnp.where(revert, mask, mask2)
+                    n_o = jnp.where(revert, n, n2)
+                    T_o = jnp.where(revert, prev_T, T2)
+                    m_o = jnp.where(revert, mres, m2)
+                    ok_o = jnp.where(revert, b, ok2)
+                    stop_o = revert | (m2 < max_res2)
+                    return mask_o, n_o, T_o, m_o, ok_o, stop_o
+
+                mask_f, n_f, T_f, m_f, ok_f, _ = jax.lax.while_loop(
+                    rm_cond, rm_body,
+                    (tentative, n_new, T1, m1, ok1, jnp.asarray(False)),
+                )
+                return mask_f, n_f, T_f, m_f, ok_f
+
+            return jax.lax.cond(n_new < 3, lt3, ge3, 0)
+
+        inlier, count, T, maxres, validT = jax.lax.cond(
+            cand_ok,
+            add_and_strip,
+            lambda a: a,
+            (inlier, count, T, maxres, validT),
+        )
         return i + 1, inlier, count, T, maxres, validT
 
     def cont(state):
         # early exit like the reference's candidate loop (cuda_kabsch.h:430:
         # while curFiltered < maxFiltered && more matches): matches arrive
         # sorted with invalid entries at the tail, so the first invalid one
-        # ends the scan. Under vmap this runs until the LAST pair finishes —
-        # typically ~30 steps instead of R=128.
+        # ends the scan (see the prefix-contiguity requirement above). Under
+        # vmap this runs until the LAST pair finishes — typically ~30 steps
+        # instead of R=128.
         i, _, count, *_ = state
         return (i < R) & (count < max_filtered) & valid[jnp.minimum(i, R - 1)]
 

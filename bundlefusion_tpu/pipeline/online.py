@@ -502,7 +502,13 @@ class BundleFusion:
             packed = jnp.where(
                 alloc_en[:, None], packed, jnp.int32(EMPTY_KEY)
             ).reshape(-1)
-            table = allocate_packed(table, packed)
+            # scale the dedup-compact capacity by the number of candidate
+            # frames so each op keeps its full single-frame allocation
+            # budget (one shared default budget starved later frames' new
+            # blocks, losing them permanently after the de-integration)
+            from bundlefusion_tpu.tsdf.table import ALLOC_COMPACT
+
+            table = allocate_packed(table, packed, compact=ALLOC_COMPACT * (R + 1))
             return _apply_ops(table, depths, colors, poses, signs, img_of_op)
 
         self._tsdf_fast = jax.jit(tsdf_fast, donate_argnums=(0,))

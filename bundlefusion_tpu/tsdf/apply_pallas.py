@@ -269,7 +269,10 @@ def _apply_kernel(
                     def go():
                         min_u = jnp.min(jnp.where(um_c >= 0, um_c, W))
                         max_u = jnp.max(um_c)
-                        u0w = jnp.clip(min_u & ~7, 0, W - WIN)
+                        # clamp to a multiple of 8 unconditionally: the
+                        # pl.multiple_of(u0w, 8) promise below must hold
+                        # even when W - WIN is not 8-aligned
+                        u0w = jnp.clip(min_u & ~7, 0, (W - WIN) & ~7)
                         fits = max_u < u0w + WIN
 
                         @pl.when(fits)
@@ -406,6 +409,7 @@ def apply_tsdf_ops(
     HP = ((H + 127) // 128) * 128
     N = table.num_blocks
     assert N % TILE == 0, "num_blocks must be a multiple of the DMA tile"
+    assert W >= WIN, f"integration width {W} must be >= the {WIN}-col u-window"
 
     img5 = jax.vmap(pack_img5)(depths, colors).reshape(
         IMGS * 5 * W, HP

@@ -90,6 +90,13 @@ class VoxelBlockTable(NamedTuple):
 
 
 def create_table(capacity: int, num_blocks: int) -> VoxelBlockTable:
+    # The fused Pallas sweep (apply_pallas.py) DMAs payload rows in chunks
+    # of TILE=128; round the payload up so ANY requested size works (the
+    # reference default 200000 is not 128-aligned). Extra rows start on the
+    # free list like all others and are plain additional capacity.
+    from bundlefusion_tpu.tsdf.apply_pallas import TILE as _TILE
+
+    num_blocks = ((num_blocks + _TILE - 1) // _TILE) * _TILE
     return VoxelBlockTable(
         keys=jnp.full((capacity,), EMPTY_KEY, jnp.int32),
         slots=jnp.full((capacity,), -1, jnp.int32),
@@ -185,7 +192,9 @@ def allocate(table: VoxelBlockTable, candidate_coords, valid_mask) -> VoxelBlock
     return allocate_packed(table, packed_all)
 
 
-def allocate_packed(table: VoxelBlockTable, packed_all) -> VoxelBlockTable:
+def allocate_packed(
+    table: VoxelBlockTable, packed_all, compact: int = ALLOC_COMPACT
+) -> VoxelBlockTable:
     """Insert candidate blocks given as packed keys [M] (EMPTY = invalid).
 
     The whole operation is a fixed-shape jittable program: run-dedup +
@@ -195,16 +204,20 @@ def allocate_packed(table: VoxelBlockTable, packed_all) -> VoxelBlockTable:
     reference also silently drops on heap exhaustion. Newly popped slots
     need no clearing: ``free_blocks`` zeroes payload when a slot is freed,
     so the free list only ever holds zeroed slots.
+
+    ``compact`` is the deduped-candidate capacity; callers batching several
+    frames' candidates into one call must scale it by the frame count so
+    each frame keeps its single-frame allocation budget.
     """
     # Candidates arrive in image-scan order, so duplicates come in runs
     # (a block's footprint spans ~7 px); dropping consecutive repeats +
     # compacting shrinks the working set ~5x before any search. Distinct
-    # survivors beyond ALLOC_COMPACT are silently deferred to a later frame
+    # survivors beyond ``compact`` are silently deferred to a later frame
     # (they stay visible and re-candidate while the surface is in view).
     prev = jnp.concatenate([jnp.full((1,), -1, jnp.int32), packed_all[:-1]])
     keep = (packed_all != prev) & (packed_all != EMPTY_KEY)
     cpos = jnp.cumsum(keep.astype(jnp.int32)) - 1
-    M = ALLOC_COMPACT
+    M = compact
     packed_raw = jnp.full((M,), EMPTY_KEY, jnp.int32).at[
         jnp.where(keep & (cpos < M), cpos, M)
     ].set(packed_all, mode="drop")

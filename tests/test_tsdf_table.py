@@ -70,13 +70,18 @@ def test_alloc_respects_valid_mask(rng):
 
 
 def test_alloc_overflow_accounting():
-    t = make_table(cap=64, blocks=16)
-    coords = np.stack(np.meshgrid(np.arange(4), np.arange(4), np.arange(4)), -1).reshape(-1, 3).astype(np.int32)
-    # 64 distinct blocks into 16 slots -> 48 failures
-    t = allocate(t, jnp.asarray(coords), jnp.ones(64, bool))
-    assert int(num_occupied(t)) == 16
+    # create_table rounds num_blocks up to the kernel's 128-row DMA tile,
+    # so the smallest payload is 128 slots; overflow it with 192 blocks
+    t = make_table(cap=256, blocks=128)
+    assert t.num_blocks == 128
+    coords = np.stack(
+        np.meshgrid(np.arange(8), np.arange(6), np.arange(4)), -1
+    ).reshape(-1, 3).astype(np.int32)
+    # 192 distinct blocks into 128 slots -> 64 failures
+    t = allocate(t, jnp.asarray(coords), jnp.ones(192, bool))
+    assert int(num_occupied(t)) == 128
     assert int(t.free_count) == 0
-    assert int(t.num_alloc_failures) == 48
+    assert int(t.num_alloc_failures) == 64
     assert all(v == 0 for v in check_invariants(t).values())
 
 
