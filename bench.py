@@ -7,9 +7,15 @@ Baseline: the reference BundleFusion targets 30 Hz real-time on two desktop
 GPUs (BASELINE.md); vs_baseline is measured fps / 30.
 
 The workload mirrors the reference's default operating point (BASELINE.md):
-640x480 input & SIFT, 320x240 integration, submap size 10, ~150 features
-per frame, 1 cm voxels — on a synthetic scene rendered with ground-truth
-poses so ATE RMSE is measured in the same run.
+640x480 input & SIFT, 320x240 integration + per-frame raycast (the reference
+renders every frame, DepthSensing.cpp:1066-1068), submap size 10, ~150
+features per frame, 1 cm voxels — on a synthetic scene rendered with
+ground-truth poses so ATE RMSE is measured in the same run.
+
+Timing protocol (round-1 failure mode: a program compiled inside the timed
+window): ``engine.warmup()`` compiles + executes EVERY program against dummy
+state before any timed frame; compile time is reported separately as
+``compile_s``, per-stage means under ``stage_ms``.
 """
 
 import json
@@ -55,10 +61,7 @@ def main():
             depth_min=app.sensor_depth_min, depth_max=app.sensor_depth_max,
         )
         max_keyframes = 64
-        # warmup must reach past the first global solve + re-integration
-        # (first triggered around frame 19) so every program is compiled
-        # before the timed window
-        warmup_frames = 24
+        warmup_frames = 12
     else:
         # CPU smoke config (2-core CI box)
         n_frames = 13
@@ -85,14 +88,24 @@ def main():
     seq = make_sequence(n_frames, intr=intr)
     eng = BundleFusion(intr, app, bundling, sift_cfg=sift_cfg, max_keyframes=max_keyframes)
 
-    # warmup: drives all compiles (detection, matching, filters, solves,
-    # integrate, re-integrate)
+    # compile + execute every program on throwaway state, OUTSIDE the timed
+    # window; then run a few real frames so steady-state caches settle.
+    # Frame i+1 uploads (async) while frame i computes — the upload pipeline
+    # (the device link is ~100 MB/s; a frame is ~1.5 MB).
+    compile_s = eng.warmup()
+    handle = eng.upload_frame(seq["depth"][0], seq["color"][0])
     for i in range(warmup_frames):
-        eng.process_frame(seq["depth"][i], seq["color"][i])
+        nxt = eng.upload_frame(seq["depth"][i + 1], seq["color"][i + 1])
+        eng.process_frame(handle)
+        handle = nxt
+    jax.block_until_ready((eng.local, eng.glob, eng.table))
 
     t0 = time.perf_counter()
     for i in range(warmup_frames, n_frames):
-        eng.process_frame(seq["depth"][i], seq["color"][i])
+        if i + 1 < n_frames:
+            nxt = eng.upload_frame(seq["depth"][i + 1], seq["color"][i + 1])
+        eng.process_frame(handle)
+        handle = nxt
     jax.block_until_ready((eng.local, eng.glob, eng.table))  # drain in-flight work
     elapsed = time.perf_counter() - t0
     timed = n_frames - warmup_frames
@@ -102,6 +115,11 @@ def main():
     traj = eng.trajectory()
     rmse, n_valid = evaluate_ate_rmse(traj, seq["poses"][: len(traj)])
 
+    stage_ms = {
+        k: round(1000.0 * v, 2)
+        for k, v in eng.timing.averages().items()
+        if k.startswith("time_")
+    }
     out = {
         "metric": "frames_per_second_per_chip",
         "value": round(fps, 3),
@@ -112,6 +130,8 @@ def main():
         "total_frames": n_frames,
         "platform": platform,
         "ms_per_frame": round(1000.0 * elapsed / timed, 2),
+        "compile_s": round(compile_s, 1),
+        "stage_ms": stage_ms,
     }
     print(json.dumps(out))
 

@@ -132,14 +132,24 @@ def main(argv=None):
 
     # ---- run ----
     eng = BundleFusion(intr, app, bundling, sift_cfg=sift_cfg, max_keyframes=max_keyframes)
+    eng.warmup()
     t0 = time.perf_counter()
     n_done = 0
+    # frame i+1 uploads while frame i computes (the device link is slow;
+    # the analog of the reference's sensor-thread overlap)
+    handle = None
     for depth, color in frames:
-        out = eng.process_frame(np.asarray(depth), np.asarray(color))
+        nxt = eng.upload_frame(np.asarray(depth), np.asarray(color))
+        if handle is not None:
+            out = eng.process_frame(handle)
+            n_done += 1
+            if n_done % 10 == 0:
+                print(f"[ {n_done} ] valid={bool(out['valid'])} "
+                      f"({n_done / (time.perf_counter() - t0):.2f} fps)", flush=True)
+        handle = nxt
+    if handle is not None:
+        eng.process_frame(handle)
         n_done += 1
-        if n_done % 10 == 0:
-            print(f"[ {n_done} ] valid={bool(out['valid'])} "
-                  f"({n_done / (time.perf_counter() - t0):.2f} fps)", flush=True)
     eng.finish()
     elapsed = time.perf_counter() - t0
 

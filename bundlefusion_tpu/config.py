@@ -136,6 +136,9 @@ class BundlingConfig:
     num_global_lin_iterations: int = 150
     use_local_dense: bool = True
     use_global_dense_at_end: bool = True      # USE_GLOBAL_DENSE_AT_END compile flag
+    # photometric weight of the global dense-at-end solve (the reference
+    # enables denseColor=0.1 with gradient gating there, SBA.cpp:28-38)
+    dense_color_at_end_weight: float = 0.1
     num_opt_per_residual_removal: int = 1
 
     # dense BA term (zParametersBundlingDefault.txt:22-28,44-52)

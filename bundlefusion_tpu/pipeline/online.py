@@ -299,6 +299,9 @@ class BundleFusion:
         self.max_retry_attempts = 10
         self.timing = TimingLog()
         self.lost_count = 0
+        # per-frame raycast cadence (reference: every frame); 0 disables
+        self.render_every = 1 if app.reconstruction_enabled else 0
+        self.last_render = None
         # device-resident constant cache: every host->device upload through
         # the runtime tunnel costs ~0.3-1 ms, so small per-frame scalars are
         # uploaded once and reused
@@ -684,6 +687,96 @@ class BundleFusion:
 
         self._gc = jax.jit(garbage_collect, donate_argnums=(0,), static_argnums=(1,))
 
+        # per-frame visualization (the reference raycasts every frame at
+        # integration res and blits it, DepthSensing.cpp:1066-1068); the
+        # render stays on device — callers fetch ``last_render`` lazily
+        rp = RaycastParams(
+            ray_increment_factor=app.sdf_ray_increment_factor,
+            depth_min=app.render_depth_min,
+            depth_max=app.render_depth_max,
+        )
+        self._render = jax.jit(
+            lambda table, cam: raycast(table, intr_int, cam, tsdf_params, rp)
+        )
+
+    # ------------------------------------------------------------------
+    def warmup(self) -> float:
+        """Compile + execute every engine program on throwaway state.
+
+        The driver benchmark runs in a fresh process where each program
+        compile costs tens of seconds (no persistent cache on this
+        platform); any program first reached inside the timed window would
+        dominate the measurement (round-1 failure mode). This executes all
+        of them — frame step, both TSDF variants, garbage collection,
+        submap step (both global-branch sides via lax.cond), revalidation
+        matching, finish-path solves, composition, rendering — against
+        dummy state of identical shapes/statics, so the real run never
+        compiles. Returns elapsed seconds.
+        """
+        import time as _time
+
+        t0 = _time.perf_counter()
+        app, bundling = self.app, self.bundling
+        d = jnp.zeros((self.intr_input.height, self.intr_input.width), jnp.uint16)
+        c = jnp.zeros((self.intr_input.height, self.intr_input.width, 3), jnp.uint8)
+        local = self._fresh_local()
+        store = create_frame_store(
+            self.frame_cap, self.intr_int.height, self.intr_int.width
+        )
+        local, store, T_dev, valid_dev = self._frame_step(
+            d, c, local, store, self._dev_eye, self._i32(0), self._i32(0)
+        )
+        table = create_table(app.hash_key_capacity, app.hash_num_sdf_blocks)
+        table = self._tsdf_fast(table, store, self._i32(0), T_dev, valid_dev)
+        packed = jnp.zeros((5, 34), jnp.float32)
+        table = self._tsdf_rows(table, store, packed, self._i32(0), T_dev, valid_dev)
+        table = self._gc(table)
+        render = self._render(table, self._dev_eye)
+        glob = GlobalState(
+            keys=create_keyframe_store(self.G, bundling.max_num_keys_per_image),
+            cache=create_dense_cache(
+                self.G, self.intr_cache.height, self.intr_cache.width
+            ),
+            corrs=create_corr_store(bundling.max_global_corr),
+            poses=jnp.zeros((self.G, 6), jnp.float32),
+            local_traj=jnp.zeros((self.G, self.S, 4, 4), jnp.float32),
+            local_valid=jnp.zeros((self.G, self.S), bool),
+        )
+        kfv = jnp.zeros((self.G,), bool)
+        local, glob, kfv, _, pack = self._submap_step(
+            local, glob, kfv, self._i32(1), self._dev_eye, self._dev_eye
+        )
+        # revalidation path programs (match + conditional residual append +
+        # the eager frame_valid toggles, Bundler::tryRevalidation analog)
+        gk = glob.keys
+        glob = glob._replace(keys=gk._replace(frame_valid=gk.frame_valid.at[0].set(True)))
+        mf = match_and_filter(
+            jnp.asarray(0), glob.keys, glob.cache,
+            self.intr_sift, self.intr_cache, self.frontend_global,
+        )
+        corrs2 = add_to_residuals(
+            glob.corrs, mf, jnp.asarray(0, jnp.int32),
+            jnp.arange(self.G, dtype=jnp.int32),
+        )
+        gk = glob.keys
+        glob = glob._replace(keys=gk._replace(frame_valid=gk.frame_valid.at[0].set(False)))
+        # finish() path programs: standalone global solves + composition
+        gposes, _ = solve_sparse(glob.poses, kfv, corrs2, self.global_solver)
+        if bundling.use_global_dense_at_end:
+            gposes, _ = solve_bundle(
+                glob.poses, kfv, corrs2, glob.cache, self.intr_cache,
+                self.global_solver, self.dense_term_params,
+                dense_weights=jnp.full(
+                    (self.global_solver.num_gn,), 15.0, jnp.float32
+                ),
+                w_color=bundling.dense_color_at_end_weight,
+            )
+        comp = self._compose(gposes, kfv, glob.local_traj, glob.local_valid)
+        tail = self._pack_tail(local, self._dev_eye)
+        jax.block_until_ready((table, render, pack, comp, tail, glob))
+        del local, store, table, glob, render, pack, comp, tail, corrs2, gposes, mf
+        return _time.perf_counter() - t0
+
     # ------------------------------------------------------------------
     @staticmethod
     def _to_wire(depth, color):
@@ -699,11 +792,28 @@ class BundleFusion:
         return depth, color
 
     # ------------------------------------------------------------------
-    def process_frame(self, depth, color):
+    def upload_frame(self, depth, color):
+        """Start the async host->device upload of one input frame.
+
+        The device link is bandwidth-limited (a 640x480 RGB-D frame costs
+        ~15 ms through the measured ~100 MB/s runtime tunnel); uploading
+        frame i+1 while frame i computes hides the transfer entirely — the
+        analog of the reference's sensor thread overlapping the GPU
+        (``CUDAImageManager::process`` upload vs render thread). Returns a
+        handle to pass to :meth:`process_frame` as ``depth`` (with
+        ``color=None``).
+        """
+        depth_u16, color_u8 = self._to_wire(depth, color)
+        return (jax.device_put(depth_u16), jax.device_put(color_u8))
+
+    # ------------------------------------------------------------------
+    def process_frame(self, depth, color=None):
         """Process one input-resolution RGB-D frame.
 
         Args:
-          depth: [H, W] float32 meters (or uint16 mm) at input resolution.
+          depth: [H, W] float32 meters (or uint16 mm) at input resolution —
+            or the handle returned by :meth:`upload_frame` (then ``color``
+            must be None).
           color: [H, W, 3] float32 in [0, 1] (or uint8).
 
         Returns dict: ``pose`` (4x4, cam-to-world estimate), ``valid``.
@@ -731,11 +841,16 @@ class BundleFusion:
             self._retire_submap(force=is_boundary)
 
         with self.timing.stage("time_frame_step", ft):
-            depth_u16, color_u8_in = self._to_wire(depth, color)
+            if color is None:
+                depth_dev, color_dev = depth  # pre-uploaded handle
+            else:
+                depth_u16, color_u8_in = self._to_wire(depth, color)
+                depth_dev = jnp.asarray(depth_u16)
+                color_dev = jnp.asarray(color_u8_in)
             store_slot = self._store_slot(f)
             self.local, self.store, T_world_dev, valid_dev = self._frame_step(
-                jnp.asarray(depth_u16),
-                jnp.asarray(color_u8_in),
+                depth_dev,
+                color_dev,
                 self.local,
                 self.store,
                 self.submap_base,
@@ -749,6 +864,13 @@ class BundleFusion:
         with self.timing.stage("time_re_integrate", ft):
             if self.app.integration_enabled:
                 self._tsdf_dispatch(store_slot, T_world_dev, valid_dev)
+
+        # ---- per-frame visualization: raycast the TSDF at the current pose
+        # (the reference renders every frame, DepthSensing.cpp:1066-1068);
+        # the result stays on device, fetched lazily via ``last_render`` ----
+        if self.render_every and f % self.render_every == 0:
+            with self.timing.stage("time_visualize", ft):
+                self.last_render = self._render(self.table, T_world_dev)
 
         # ---- submap boundary: dispatch the solve (device-side dependency
         # only; results retired on a later frame) ----
@@ -1098,8 +1220,9 @@ class BundleFusion:
                 kv = self.keyframe_valid.copy()
                 kv[self.num_keyframes :] = False
                 if self.bundling.use_global_dense_at_end and it == n_extra - 1:
-                    # final pass with dense depth weight 15
-                    # (USE_GLOBAL_DENSE_AT_END, OnlineBundler.cpp:177-189)
+                    # final pass with dense depth weight 15 and photometric
+                    # weight 0.1 (USE_GLOBAL_DENSE_AT_END,
+                    # OnlineBundler.cpp:177-189; denseColor SBA.cpp:28-38)
                     gposes, _ = solve_bundle(
                         self.glob.poses,
                         jnp.asarray(kv),
@@ -1111,6 +1234,7 @@ class BundleFusion:
                         dense_weights=jnp.full(
                             (self.global_solver.num_gn,), 15.0, jnp.float32
                         ),
+                        w_color=self.bundling.dense_color_at_end_weight,
                     )
                 else:
                     gposes, _ = solve_sparse(

@@ -384,10 +384,17 @@ def garbage_collect(table: VoxelBlockTable, weight_thresh: float = 0.0) -> Voxel
 
     Mirrors ``garbageCollectIdentifyKernel`` (CUDASceneRepHashSDF.cu:584-631),
     which frees blocks with max weight 0 (de-integrated to emptiness).
+
+    The per-block max runs in SLOT order (a sequential reduction over the
+    payload at HBM bandwidth); only the [num_blocks] summary is then gathered
+    into key order. Gathering payload *rows* by key order instead read whole
+    (8, 128) tiles per row — 8x HBM amplification, ~40 ms at 131K blocks.
     """
-    slot = jnp.clip(table.slots, 0, table.num_blocks - 1)
-    maxw = jnp.max(table.weight[slot], axis=-1)
-    mask = (table.keys != EMPTY_KEY) & (maxw <= weight_thresh)
+    maxw_by_slot = jnp.max(table.weight, axis=-1)  # [num_blocks + 1], slot order
+    live_by_slot = table.slot_keys != EMPTY_KEY
+    empty_by_slot = live_by_slot & (maxw_by_slot <= weight_thresh)
+    slot = jnp.clip(table.slots, 0, table.num_blocks)
+    mask = (table.keys != EMPTY_KEY) & empty_by_slot[slot]
     return free_blocks(table, mask)
 
 

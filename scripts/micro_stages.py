@@ -1,10 +1,8 @@
-"""Micro-benchmark each jitted sub-stage of the per-frame pipeline on-device."""
-import os, sys, time
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+"""Microbenchmarks of individual hot ops on the real TPU."""
+import os, time
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax_cc")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.2")
-
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -12,90 +10,127 @@ import jax.numpy as jnp
 from bundlefusion_tpu import AppConfig, BundlingConfig
 from bundlefusion_tpu.io.synthetic import default_intrinsics, make_sequence
 from bundlefusion_tpu.ops.sift import SiftConfig, detect_and_describe
-from bundlefusion_tpu.ops.image import erode_depth, resample_bilinear, resample_nearest, rgb_to_intensity
-from bundlefusion_tpu.pipeline.online import BundleFusion
+from bundlefusion_tpu.geometry.camera import CameraIntrinsics
 
-
-def timeit(name, fn, n=5):
-    jax.block_until_ready(fn())  # warm/compile
-    t0 = time.perf_counter()
-    for _ in range(n):
-        out = fn()
-    jax.block_until_ready(out)
-    dt = (time.perf_counter() - t0) / n
-    print(f"{name:44s} {1000*dt:9.2f} ms")
-    return out
-
-
-intr = default_intrinsics(640, 480)
 app = AppConfig(hash_num_sdf_blocks=131072, hash_key_capacity=131072, visible_blocks_cap=8192)
 bundling = BundlingConfig(max_global_corr=16384)
+intr = default_intrinsics(640, 480)
 sift_cfg = SiftConfig(target_keys=150, min_scale=bundling.min_key_scale,
                       depth_min=app.sensor_depth_min, depth_max=app.sensor_depth_max)
-seq = make_sequence(24, intr=intr)
-eng = BundleFusion(intr, app, bundling, sift_cfg=sift_cfg, max_keyframes=64)
-for i in range(22):
-    eng.process_frame(seq["depth"][i], seq["color"][i])
-jax.block_until_ready((eng.local, eng.table, eng.store))
 
-d16, c8 = eng._to_wire(seq["depth"][22], seq["color"][22])
-d16, c8 = jnp.asarray(d16), jnp.asarray(c8)
+def bench(name, fn, *args, n=20):
+    out = fn(*args); jax.block_until_ready(out)  # compile
+    t0 = time.perf_counter()
+    for _ in range(n):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    dt = (time.perf_counter() - t0) / n * 1000
+    print(f"{name:28s}: {dt:8.3f} ms")
+    return out
 
-# full frame_step (no donation side effects: pass copies)
-import copy
-def run_frame():
-    return eng._frame_step(d16, c8, jax.tree.map(jnp.copy, eng.local),
-                           jax.tree.map(jnp.copy, eng.table), jax.tree.map(jnp.copy, eng.store),
-                           eng.submap_base, jnp.asarray(5, jnp.int32), jnp.asarray(22, jnp.int32))
-timeit("frame_step (full)", run_frame, n=3)
+# tunnel round-trip: trivial op, sync each time
+x = jnp.zeros((8, 128), jnp.float32)
+f_triv = jax.jit(lambda x: x + 1)
+f_triv(x).block_until_ready()
+t0 = time.perf_counter()
+for _ in range(20):
+    f_triv(x).block_until_ready()
+print(f"{'tunnel sync roundtrip':28s}: {(time.perf_counter()-t0)/20*1000:8.3f} ms")
 
-# decode+preprocess
-@jax.jit
-def prep(d16, c8):
-    depth = jnp.where(d16 > 0, d16.astype(jnp.float32) * 1e-3, jnp.nan)
-    color = c8.astype(jnp.float32) / 255.0
-    d = erode_depth(erode_depth(depth))
-    i = rgb_to_intensity(color)
-    return (resample_bilinear(i, eng.intr_sift.height, eng.intr_sift.width),
-            resample_nearest(d, eng.intr_sift.height, eng.intr_sift.width),
-            resample_nearest(d, eng.intr_int.height, eng.intr_int.width),
-            resample_bilinear(color, eng.intr_int.height, eng.intr_int.width))
-out = timeit("preprocess (erode+resample)", lambda: prep(d16, c8))
-intensity_sift, depth_sift, depth_int, color_int = out
+# async dispatch cost (no sync until end)
+t0 = time.perf_counter()
+y = x
+for _ in range(100):
+    y = f_triv(y)
+y.block_until_ready()
+print(f"{'async dispatch (chained)':28s}: {(time.perf_counter()-t0)/100*1000:8.3f} ms")
 
-timeit("sift detect_and_describe", lambda: detect_and_describe(intensity_sift, depth_sift, eng.sift_cfg))
+seq = make_sequence(4, intr=intr)
+depth = jnp.asarray(np.where(np.isfinite(seq["depth"][0]), seq["depth"][0], 0.0))
+color = jnp.asarray(seq["color"][0])
 
-from bundlefusion_tpu.pipeline.frames import store_cache_frame, store_keypoints
-kp = detect_and_describe(intensity_sift, depth_sift, eng.sift_cfg)
-timeit("store cache frame", lambda: store_cache_frame(jax.tree.map(jnp.copy, eng.local.cache), 5, depth_int, color_int, eng.intr_cache))
-
-from bundlefusion_tpu.pipeline.frontend import match_and_filter, add_to_residuals, chained_sift_transform
-timeit("local match_and_filter (S=11)", lambda: match_and_filter(
-    jnp.asarray(5), eng.local.keys, eng.local.cache, eng.intr_sift, eng.intr_cache, eng.frontend_local))
+# SIFT detect at 640x480
+intensity = jnp.mean(color, axis=-1)
+det = jax.jit(lambda i, d: detect_and_describe(i, d, sift_cfg))
+bench("detect_and_describe 640x480", det, intensity, depth)
 
 # TSDF pieces
-from bundlefusion_tpu.tsdf.integrate import allocate_for_frame, visible_block_indices, integrate_frame, _use_pallas
-T = jnp.eye(4, dtype=jnp.float32)
-tp, cap = eng.tsdf_params, eng.vis_cap
-tab0 = jax.tree.map(jnp.copy, eng.table)
-timeit("tsdf allocate_for_frame", lambda: allocate_for_frame(jax.tree.map(jnp.copy, eng.table), depth_int, eng.intr_int, T, tp))
-tab1 = allocate_for_frame(jax.tree.map(jnp.copy, eng.table), depth_int, eng.intr_int, T, tp)
-timeit("tsdf visible_block_indices", lambda: visible_block_indices(tab1, eng.intr_int, T, tp, cap))
-vis, _ = visible_block_indices(tab1, eng.intr_int, T, tp, cap)
-if _use_pallas():
-    from bundlefusion_tpu.tsdf.apply_pallas import apply_tsdf_ops  # noqa: F401
-    timeit("tsdf integrate_frame_pallas", lambda: integrate_frame_pallas(
-        jax.tree.map(jnp.copy, tab1), depth_int, color_int, eng.intr_int, T, tp, vis, 1.0))
-timeit("tsdf integrate_frame (XLA)", lambda: integrate_frame(
-    jax.tree.map(jnp.copy, tab1), depth_int, color_int, eng.intr_int, T, tp, vis, 1.0))
+from bundlefusion_tpu.tsdf.table import create_table, allocate_packed, garbage_collect
+from bundlefusion_tpu.tsdf.integrate import candidate_keys, TsdfParams
+from bundlefusion_tpu.tsdf.apply_pallas import apply_tsdf_ops
+from bundlefusion_tpu.ops.image import resample_nearest
 
-# one reintegrate op (de+re)
-fidx = jnp.zeros((10,), jnp.int32).at[0].set(5)
-ops1 = jnp.zeros((10,), jnp.int32).at[0].set(2)
-Ts = jnp.tile(jnp.eye(4, dtype=jnp.float32), (10, 1, 1))
-timeit("reintegrate_batch 1 row", lambda: eng._reintegrate_batch(
-    jax.tree.map(jnp.copy, eng.table), eng.store, fidx, Ts, Ts, ops1), n=3)
-ops5 = jnp.where(jnp.arange(10) < 5, 2, 0).astype(jnp.int32)
-timeit("reintegrate_batch 5 rows", lambda: eng._reintegrate_batch(
-    jax.tree.map(jnp.copy, eng.table), eng.store, fidx, Ts, Ts, ops5), n=3)
-timeit("garbage_collect", lambda: eng._gc(jax.tree.map(jnp.copy, eng.table)))
+intr_int = intr.scaled(320, 240)
+tp = TsdfParams(voxel_size=app.sdf_voxel_size, truncation=app.sdf_truncation,
+                truncation_scale=app.sdf_truncation_scale,
+                max_integration_distance=app.sdf_max_integration_distance,
+                integration_weight_sample=app.sdf_integration_weight_sample,
+                integration_weight_max=app.sdf_integration_weight_max,
+                depth_min=app.sensor_depth_min, depth_max=app.sensor_depth_max)
+table = create_table(app.hash_key_capacity, app.hash_num_sdf_blocks)
+d_int = resample_nearest(jnp.where(depth > 0, depth, jnp.nan), 240, 320)
+c_int = jnp.zeros((240, 320, 3), jnp.float32)
+T = jnp.eye(4, dtype=jnp.float32)
+
+ck = jax.jit(lambda d, T: candidate_keys(d, intr_int, T, tp))
+packed = bench("candidate_keys", ck, d_int, T)
+
+ap = jax.jit(allocate_packed, donate_argnums=())
+table2 = bench("allocate_packed", ap, table, packed)
+
+f_apply = jax.jit(lambda t, d, c, T: apply_tsdf_ops(
+    t, d[None], c[None], T[None], jnp.ones((1,), jnp.float32),
+    jnp.zeros((1,), jnp.int32), intr_int, tp))
+bench("apply_tsdf_ops 1-op", f_apply, table2, d_int, c_int, T)
+
+f_gc = jax.jit(lambda t: garbage_collect(t))
+bench("garbage_collect", f_gc, table2)
+
+# matching
+from bundlefusion_tpu.pipeline.frames import (create_keyframe_store, create_dense_cache,
+                                              store_keypoints, store_cache_frame)
+from bundlefusion_tpu.pipeline.frontend import match_and_filter, FrontendParams
+from bundlefusion_tpu.ops.filters import DenseVerifyParams
+
+intr_sift = intr.scaled(640, 480)
+intr_cache = intr.scaled(80, 60)
+dense = DenseVerifyParams(dist_thresh=bundling.proj_corr_dist_thres,
+                          normal_thresh=bundling.proj_corr_normal_thres,
+                          err_thresh=bundling.verify_sift_err_thresh,
+                          corr_thresh=bundling.verify_sift_corr_thresh,
+                          depth_min=app.sensor_depth_min, depth_max=app.sensor_depth_max)
+fp = FrontendParams(sift_match_thresh=bundling.sift_match_thresh,
+                    sift_match_ratio=bundling.sift_match_ratio_max_local,
+                    num_raw_matches=bundling.max_matches_per_image_pair_raw,
+                    max_filtered=bundling.max_matches_per_image_pair_filtered,
+                    min_num_matches=bundling.min_num_matches_local,
+                    max_kabsch_res2=bundling.max_kabsch_residual2,
+                    surf_area_thresh=bundling.surf_area_pca_thresh,
+                    dense=dense)
+S = 11
+keys = create_keyframe_store(S, sift_cfg.target_keys)
+cache = create_dense_cache(S, 60, 80)
+kp = det(intensity, depth)
+for s in range(S):
+    keys = store_keypoints(keys, jnp.asarray(s), kp)
+    cache = store_cache_frame(cache, jnp.asarray(s), d_int, c_int, intr_cache)
+mfj = jax.jit(lambda c, k, ca: match_and_filter(c, k, ca, intr_sift, intr_cache, fp))
+bench("match_and_filter S=11", mfj, jnp.asarray(10), keys, cache)
+
+# global matching G=64
+G = 64
+gkeys = create_keyframe_store(G, bundling.max_num_keys_per_image)
+gcache = create_dense_cache(G, 60, 80)
+mfg = jax.jit(lambda c, k, ca: match_and_filter(c, k, ca, intr_sift, intr_cache, fp))
+bench("match_and_filter G=64", mfg, jnp.asarray(63), gkeys, gcache)
+
+# solver
+from bundlefusion_tpu.solver.gn_pcg import solve_sparse, SolverParams
+from bundlefusion_tpu.solver.residuals import create_corr_store
+sp = SolverParams(num_gn=3, num_pcg=150, pcg_early_out=bundling.pcg_early_out,
+                  gn_early_out_delta=bundling.gn_early_out_delta)
+corrs = create_corr_store(16384)
+poses = jnp.zeros((G, 6), jnp.float32)
+kv = jnp.ones((G,), bool)
+ss = jax.jit(lambda p, v, c: solve_sparse(p, v, c, sp))
+bench("solve_sparse G=64 C=16384", ss, poses, kv, corrs)
