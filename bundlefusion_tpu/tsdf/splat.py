@@ -1,0 +1,270 @@
+"""Surface-splat renderer: the TPU-native per-frame visualization.
+
+The reference renders every frame by per-pixel ray marching through the
+voxel hash, accelerated by rasterizing block AABBs into per-pixel depth
+intervals on DX11 ("ray interval splatting", ``CUDARayCastSDF.cu:101-190``
++ ``renderKernel``). A per-pixel march is gather-bound on TPU: XLA element
+gathers run at ~90M indices/s on v5e, so 320x240 rays x ~100 samples each
+costs hundreds of ms (measured 600+ ms/frame). This module takes the
+reference's splatting idea to completion instead — rasterize the *surface
+itself*:
+
+1. frustum-cull blocks on the [num_blocks] slot-geometry rows (VPU),
+   compact visible slot ids (one fixed-size nonzero);
+2. row-gather the visible blocks' payload (row DMAs, fast — unlike
+   element gathers);
+3. find sub-voxel surface crossings along in-block voxel runs oriented
+   along the dominant view axis (pure vectorized sign-change detection —
+   the analog of the reference's zero-crossing march, evaluated on the
+   voxel grid instead of per ray);
+4. project all crossings and z-buffer them with ONE packed-key
+   ``scatter-min`` (depth-quantized key | sample index), then gather the
+   winners' attributes;
+5. fill sub-pixel holes with two 3x3 valid-neighbor passes (VPU rolls).
+
+Output contract matches :func:`bundlefusion_tpu.tsdf.raycast.raycast`:
+``depth`` / ``points`` / ``normals`` (camera space) / ``color``, nan where
+no surface. The gather-based raycaster remains for offline/final renders;
+this is the hot-loop ``time_visualize`` stage.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from bundlefusion_tpu.geometry.camera import CameraIntrinsics
+from bundlefusion_tpu.geometry.lie import pose_inverse
+from bundlefusion_tpu.tsdf.integrate import TsdfParams
+from bundlefusion_tpu.tsdf.table import (
+    BLOCK_SIZE,
+    BLOCK_VOLUME,
+    VoxelBlockTable,
+)
+
+
+@dataclass(frozen=True)
+class SplatParams:
+    depth_min: float = 0.1
+    depth_max: float = 4.0
+    visible_cap: int = 8192       # max blocks rasterized per frame
+    fill_passes: int = 2          # 3x3 hole-fill iterations
+    use_color: bool = True
+
+
+def _run_crossings(sdf, w, axis_reshape):
+    """Sub-voxel surface crossings along 8-voxel runs.
+
+    Args:
+      sdf, w: [V, 512] payload rows.
+      axis_reshape: callable mapping [V, 512] -> [V, 64, 8] so that the
+        last dim walks the chosen axis.
+
+    Returns (valid [V, 64], frac [V, 64] crossing offset in [0, 7],
+    lin_lo [V, 64] linear voxel index of the crossing's low voxel).
+    """
+    V = sdf.shape[0]
+    s = axis_reshape(sdf)                     # [V, 64, 8]
+    ww = axis_reshape(w)
+    lin = axis_reshape(jnp.broadcast_to(
+        jnp.arange(BLOCK_VOLUME, dtype=jnp.int32)[None], (V, BLOCK_VOLUME)
+    ))
+    obs = ww > 0
+    # sign change between consecutive observed voxels (either direction —
+    # the run axis is not the ray direction)
+    pos0 = s[..., :-1] > 0
+    pos1 = s[..., 1:] > 0
+    cross = obs[..., :-1] & obs[..., 1:] & (pos0 != pos1)
+    # first crossing along the run; selections via one-hot over the 7-wide
+    # run axis (take_along_axis lowers to slow element gathers on TPU)
+    order = jnp.arange(7, 0, -1, dtype=jnp.int32)[None, None]  # 7..1
+    score = jnp.where(cross, order, 0)
+    i = jnp.argmax(score, axis=-1)                               # [V, 64]
+    oh = jnp.arange(7, dtype=jnp.int32)[None, None] == i[..., None]  # [V, 64, 7]
+    ohf = oh.astype(jnp.float32)
+    valid = jnp.any(cross & oh, axis=-1)
+    s0 = jnp.sum(s[..., :-1] * ohf, axis=-1)
+    s1 = jnp.sum(s[..., 1:] * ohf, axis=-1)
+    denom = s0 - s1
+    # fraction in [0, 1] from the low voxel's center toward the high one
+    # (the low voxel's run position is already part of lin_lo)
+    alpha = jnp.clip(
+        jnp.where(jnp.abs(denom) > 1e-12, s0 / denom, 0.5), 0.0, 1.0
+    )
+    lin_lo = jnp.sum(lin[..., :-1] * oh.astype(jnp.int32), axis=-1)
+    return valid, alpha, lin_lo
+
+
+# reshapes walking x / y / z as the last axis (voxel lin = (z*8 + y)*8 + x)
+def _walk_x(a):
+    return a.reshape(a.shape[0], 64, 8)
+
+
+def _walk_y(a):
+    return a.reshape(a.shape[0], 8, 8, 8).transpose(0, 1, 3, 2).reshape(
+        a.shape[0], 64, 8
+    )
+
+
+def _walk_z(a):
+    return a.reshape(a.shape[0], 8, 8, 8).transpose(0, 2, 3, 1).reshape(
+        a.shape[0], 64, 8
+    )
+
+
+@partial(jax.jit, static_argnames=("intr", "tsdf_params", "params"))
+def splat_render(
+    table: VoxelBlockTable,
+    intr: CameraIntrinsics,
+    cam_to_world,
+    tsdf_params: TsdfParams,
+    params: SplatParams = SplatParams(),
+):
+    """Render the TSDF surface from a camera pose by splatting crossings."""
+    H, W = intr.height, intr.width
+    vs = tsdf_params.voxel_size
+    bs = BLOCK_SIZE * vs
+    w2c = pose_inverse(cam_to_world)
+    R, t = w2c[:3, :3], w2c[:3, 3]
+
+    # ---- 1. frustum cull on slot geometry (block centers + radius) ----
+    N = table.num_blocks
+    geo = table.slot_geo[:N]
+    centers = (geo[:, :3] + 0.5) * bs                      # [N, 3] world
+    live = geo[:, 3] > 0.5
+    c_cam = centers @ R.T + t
+    rad = 0.87 * bs  # block bounding-sphere radius
+    z = c_cam[:, 2]
+    inz = (z + rad > params.depth_min) & (z - rad < params.depth_max)
+    zs = jnp.maximum(z, 1e-6)
+    u = c_cam[:, 0] / zs * intr.fx + intr.cx
+    v = c_cam[:, 1] / zs * intr.fy + intr.cy
+    # conservative pixel-space margin for the block radius
+    mu = rad / zs * intr.fx
+    mv = rad / zs * intr.fy
+    vis = (
+        live & inz & (z > -rad)
+        & (u + mu >= 0) & (u - mu <= W - 1)
+        & (v + mv >= 0) & (v - mv <= H - 1)
+    )
+    Vcap = params.visible_cap
+    vis_idx = jnp.nonzero(vis, size=Vcap, fill_value=N)[0]  # [Vcap]
+    vok = vis_idx < N
+    slot = jnp.clip(vis_idx, 0, N)                          # N = dummy row
+
+    # ---- 2. row-gather visible payload ----
+    sdf = table.sdf[slot]                                   # [Vcap, 512]
+    wgt = table.weight[slot]
+    geo_v = table.slot_geo[slot]                            # [Vcap, 128]
+    wgt = wgt * vok[:, None]
+
+    # ---- 3. crossings along the dominant view axis ----
+    fwd = jnp.abs(cam_to_world[:3, 2])                      # view dir in world
+    axis = jnp.argmax(fwd)                                  # 0=x, 1=y, 2=z
+    valid, alpha_c, lin_lo = jax.lax.switch(
+        axis,
+        [
+            lambda: _run_crossings(sdf, wgt, _walk_x),
+            lambda: _run_crossings(sdf, wgt, _walk_y),
+            lambda: _run_crossings(sdf, wgt, _walk_z),
+        ],
+    )                                                       # [Vcap, 64] each
+
+    # world position of each crossing
+    lx = (lin_lo % BLOCK_SIZE).astype(jnp.float32)
+    ly = ((lin_lo // BLOCK_SIZE) % BLOCK_SIZE).astype(jnp.float32)
+    lz = (lin_lo // (BLOCK_SIZE * BLOCK_SIZE)).astype(jnp.float32)
+    step = jnp.stack([
+        jnp.array([1.0, 0.0, 0.0]), jnp.array([0.0, 1.0, 0.0]),
+        jnp.array([0.0, 0.0, 1.0]),
+    ])[axis]
+    base = geo_v[:, :3, None] * bs  # broadcast below; [Vcap, 3, 1]
+    local = jnp.stack([lx, ly, lz], 1)                      # [Vcap, 3, 64]
+    # crossing sits frac voxels beyond the low voxel's center along step
+    off = local + 0.5 + step[None, :, None] * alpha_c[:, None, :]
+    pw = base + off * vs                                    # [Vcap, 3, 64]
+
+    # ---- 4. project + packed z-buffer scatter-min ----
+    pc = jnp.einsum("ij,vjs->vis", R, pw) + t[None, :, None]
+    zc = pc[:, 2]                                           # [Vcap, 64]
+    zok = (zc > params.depth_min) & (zc < params.depth_max)
+    zs2 = jnp.maximum(zc, 1e-6)
+    uu = jnp.round(pc[:, 0] / zs2 * intr.fx + intr.cx).astype(jnp.int32)
+    vv = jnp.round(pc[:, 1] / zs2 * intr.fy + intr.cy).astype(jnp.int32)
+    ok = valid & zok & (uu >= 0) & (uu < W) & (vv >= 0) & (vv < H)
+    pix = jnp.where(ok, vv * W + uu, H * W)                 # overflow row
+
+    M = Vcap * 64
+    # pack: z quantized to 1 mm (12 bits covers 4 m) << 19 | sample idx
+    zq = jnp.clip((zc * 1000.0).astype(jnp.int32), 0, (1 << 12) - 1)
+    sidx = jnp.arange(M, dtype=jnp.int32).reshape(Vcap, 64)
+    packed = jnp.where(ok, (zq << 19) | sidx, jnp.int32(2**31 - 1))
+    zbuf = jnp.full((H * W + 1,), 2**31 - 1, jnp.int32)
+    zbuf = zbuf.at[pix.reshape(-1)].min(packed.reshape(-1), mode="drop")
+    zbuf = zbuf[: H * W]
+    hit = zbuf != 2**31 - 1
+    winner = jnp.clip(zbuf & ((1 << 19) - 1), 0, M - 1)
+
+    # winner attribute gathers (exact float depth, color)
+    zflat = zc.reshape(M)
+    depth = jnp.where(hit, zflat[winner], jnp.nan).reshape(H, W)
+    if params.use_color:
+        from bundlefusion_tpu.tsdf.table import color_at
+
+        lin_f = jnp.clip(lin_lo, 0, BLOCK_VOLUME - 1).reshape(M)
+        slot_f = jnp.broadcast_to(slot[:, None], (Vcap, 64)).reshape(M)
+        ws_, ls_ = slot_f[winner], lin_f[winner]
+        w_lo = table.weight[ws_, ls_]          # winner-only element gathers
+        col = color_at(table, ws_, ls_)
+        col = col / jnp.maximum(w_lo, 1e-12)[:, None]
+        color = jnp.where(
+            hit[:, None], jnp.clip(col, 0.0, 1.0), jnp.nan
+        ).reshape(H, W, 3)
+    else:
+        color = jnp.full((H, W, 3), jnp.nan, jnp.float32)
+
+    # ---- 5. hole fill: valid-neighbor min-depth, 3x3 ----
+    def fill(c, _):
+        d, col = c
+        best = jnp.full((H, W), jnp.inf, jnp.float32)
+        bc = jnp.zeros((H, W, 3), jnp.float32)
+        for dy in (-1, 0, 1):
+            for dx in (-1, 0, 1):
+                if dy == 0 and dx == 0:
+                    continue
+                dn = jnp.roll(jnp.roll(d, dy, 0), dx, 1)
+                cn = jnp.roll(jnp.roll(col, dy, 0), dx, 1)
+                better = jnp.isfinite(dn) & (dn < best)
+                best = jnp.where(better, dn, best)
+                bc = jnp.where(better[..., None], cn, bc)
+        use = ~jnp.isfinite(d) & jnp.isfinite(best)
+        d = jnp.where(use, best, d)
+        col = jnp.where(use[..., None], bc, col)
+        return (d, col), None
+
+    (depth, color), _ = jax.lax.scan(
+        fill, (depth, color), None, length=params.fill_passes
+    )
+
+    # camera-space points + normals (same construction as the raycaster)
+    vg = jnp.broadcast_to(jnp.arange(H, dtype=jnp.float32)[:, None], (H, W))
+    ug = jnp.broadcast_to(jnp.arange(W, dtype=jnp.float32)[None, :], (H, W))
+    dirs = jnp.stack(
+        [(ug - intr.cx) / intr.fx, (vg - intr.cy) / intr.fy, jnp.ones_like(ug)], -1
+    )
+    okp = jnp.isfinite(depth)
+    pts_cam = dirs * depth[..., None]
+    dzdx = 0.5 * (jnp.roll(pts_cam, -1, 1) - jnp.roll(pts_cam, 1, 1))
+    dzdy = 0.5 * (jnp.roll(pts_cam, -1, 0) - jnp.roll(pts_cam, 1, 0))
+    n = jnp.cross(dzdy, dzdx)
+    nn = jnp.linalg.norm(n, axis=-1, keepdims=True)
+    normals = jnp.where(nn > 1e-8, n / jnp.maximum(nn, 1e-12), jnp.nan)
+    return {
+        "depth": jnp.where(okp, depth, jnp.nan),
+        "points": jnp.where(okp[..., None], pts_cam, jnp.nan),
+        "normals": normals,
+        "color": color,
+    }
