@@ -178,6 +178,8 @@ class BundlingConfig:
     # TPU-design capacities (fixed shapes)
     max_global_corr: int = 262144             # EntryJ store capacity (global)
     max_local_corr: int = 4096                # EntryJ store capacity (per submap)
+    solver_max_pairs: int = 16384             # active (i, j) pair cap in the
+                                              # pair-reduced global solver
 
     timings_enabled: bool = False
 

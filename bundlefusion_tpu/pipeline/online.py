@@ -233,12 +233,14 @@ class BundleFusion:
             num_pcg=bundling.num_local_lin_iterations,
             pcg_early_out=bundling.pcg_early_out,
             gn_early_out_delta=bundling.gn_early_out_delta,
+            max_pairs=self.S * (self.S + 1) // 2 + 1,
         )
         self.global_solver = SolverParams(
             num_gn=bundling.num_global_non_lin_iterations,
             num_pcg=bundling.num_global_lin_iterations,
             pcg_early_out=bundling.pcg_early_out,
             gn_early_out_delta=bundling.gn_early_out_delta,
+            max_pairs=min(bundling.solver_max_pairs, self.G * (self.G + 1) // 2 + 1),
         )
         self.dense_term_params = DenseTermParams(
             dist_thresh=bundling.dense_dist_thresh,

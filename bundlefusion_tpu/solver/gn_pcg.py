@@ -12,13 +12,27 @@ Re-design of the reference GPU solver (``Solver/SolverBundling.cu``,
   |alpha_num| < 5e-7 (``SolverBundling.cu:1088-1093``) and GN early-out
   max|delta| < 0.005 (``EvalGNConvergence:694-749``).
 
-TPU design: instead of the reference's hand-written J/J^T kernels over a
-variables->correspondences table, per-corr 3x12 Jacobian blocks come from
-``jax.jacfwd`` of the tiny residual function (exact derivatives), J p is an
-einsum over corr blocks, and J^T y is two segment-sum scatters (per-corr ->
-per-variable). The Jacobi preconditioner is block-diagonal 6x6 (a strict
-upgrade over the reference's diagonal), inverted with a batched solve.
-Everything is fixed-shape; invalid corrs/poses carry zero weight.
+TPU design — **pair-reduced systems** (the scalable replacement for both
+the reference's per-PCG-iteration J/J^T kernels over a variables->corrs
+table, CUDASolverBundling.cpp:286, and this module's former [C, N] one-hot
+incidence matmuls, which cost O(C*N) memory/FLOPs per PCG step):
+
+1. once per solve: sort correspondences by pair id (img_i * N + img_j);
+2. once per GN iteration: per-corr residuals + exact ``jax.jacfwd``
+   Jacobian blocks, then a segment reduction over the sorted runs (one
+   cumulative sum + two row-gathers at segment boundaries — both fast on
+   TPU) into per-pair 12x12 JtJ blocks and 12-vector Jtr, exactly like the
+   dense term's ``DensePairSystem``;
+3. per PCG iteration: matvecs through tiny [P, N] one-hot matmuls on the
+   MXU over the P active PAIRS (P <= max_pairs, orders of magnitude
+   smaller than C), plus a [P, 12, 12] block contraction.
+
+At the reference's capacity (N=1200 keyframes, C ~ 10^6 corrs,
+zParametersBundlingDefault.txt:30-32) the PCG step touches ~P*N bf16
+one-hots (tens of MB) instead of a C*N (multi-GB) incidence matrix.
+Block-Jacobi preconditioning (6x6 per pose, a strict upgrade over the
+reference's diagonal), fixed shapes throughout, invalid corrs carry zero
+weight.
 """
 
 from __future__ import annotations
@@ -33,6 +47,8 @@ import jax.numpy as jnp
 from bundlefusion_tpu.geometry.lie import so3_exp
 from bundlefusion_tpu.solver.residuals import CorrStore
 
+_BIG = jnp.int32(2**31 - 1)
+
 
 @dataclass(frozen=True)
 class SolverParams:
@@ -41,6 +57,7 @@ class SolverParams:
     pcg_early_out: float = 5e-7
     gn_early_out_delta: float = 0.005
     sparse_weight: float = 1.0
+    max_pairs: int = 4096            # active (i, j) pair capacity
 
 
 class SolveStats(NamedTuple):
@@ -49,6 +66,7 @@ class SolveStats(NamedTuple):
     num_gn_done: jax.Array
     max_residual: jax.Array        # max per-axis component (SBA.cpp semantics)
     max_residual_corr: jax.Array   # corr index of the max residual
+    num_pairs_dropped: jax.Array   # pairs beyond max_pairs (0 = exact solve)
 
 
 def _residual_one(pose_i, pose_j, p_i, p_j):
@@ -100,6 +118,120 @@ def cost(poses, corrs: CorrStore):
     return jnp.sum(r * r)
 
 
+# ---------------------------------------------------------------------------
+# pair-reduced sparse system
+# ---------------------------------------------------------------------------
+
+
+class SortedCorrs(NamedTuple):
+    """Correspondences sorted by pair id + the segment structure (fixed per
+    solve — the analog of ``buildVariablesToCorrespondencesTableCUDA``)."""
+
+    img_i: jax.Array     # [C] sorted
+    img_j: jax.Array     # [C]
+    p_i: jax.Array       # [C, 3]
+    p_j: jax.Array       # [C, 3]
+    valid: jax.Array     # [C] bool
+    starts: jax.Array    # [P] segment start index into the sorted arrays
+    ends: jax.Array      # [P] segment end index (inclusive)
+    pair_i: jax.Array    # [P] pose index i of the pair
+    pair_j: jax.Array    # [P]
+    pair_valid: jax.Array  # [P] bool
+    dropped: jax.Array   # [] int32: segments beyond the P cap
+
+
+def sort_corrs_by_pair(corrs: CorrStore, num_frames: int, max_pairs: int) -> SortedCorrs:
+    """Sort the corr store by (img_i, img_j) and find segment boundaries."""
+    C = corrs.capacity
+    v = corrs.valid_mask()
+    pid = jnp.where(v, corrs.img_i * num_frames + corrs.img_j, _BIG)
+    order = jnp.argsort(pid)
+    pid_s = pid[order]
+    v_s = pid_s != _BIG
+    is_start = v_s & jnp.concatenate(
+        [jnp.ones((1,), bool), pid_s[1:] != pid_s[:-1]]
+    )
+    is_end = v_s & jnp.concatenate(
+        [pid_s[1:] != pid_s[:-1], jnp.ones((1,), bool)]
+    )
+    n_seg = jnp.sum(is_start.astype(jnp.int32))
+    starts = jnp.nonzero(is_start, size=max_pairs, fill_value=C - 1)[0]
+    ends = jnp.nonzero(is_end, size=max_pairs, fill_value=C - 1)[0]
+    pair_valid = jnp.arange(max_pairs) < n_seg
+    img_i_s = corrs.img_i[order]
+    img_j_s = corrs.img_j[order]
+    return SortedCorrs(
+        img_i=img_i_s,
+        img_j=img_j_s,
+        p_i=corrs.p_i[order],
+        p_j=corrs.p_j[order],
+        valid=v_s,
+        starts=starts,
+        ends=ends,
+        pair_i=jnp.where(pair_valid, img_i_s[starts], 0),
+        pair_j=jnp.where(pair_valid, img_j_s[starts], 0),
+        pair_valid=pair_valid,
+        dropped=jnp.maximum(n_seg - max_pairs, 0),
+    )
+
+
+def build_sparse_pair_system(poses, sc: SortedCorrs, w_sqrt):
+    """Per-GN-iteration reduction: exact per-corr Jacobians -> per-pair
+    H [P, 12, 12] / b [P, 12] via one cumulative sum over the sorted runs
+    + row-gathers at the segment boundaries. Returns (H, b, cost)."""
+    vf = sc.valid.astype(jnp.float32)[:, None] * w_sqrt
+    pi = _gather_poses(poses, sc.img_i)
+    pj = _gather_poses(poses, sc.img_j)
+    r = _res_batch(pi, pj, sc.p_i, sc.p_j) * vf           # [C, 3]
+    Ji, Jj = _jac_batch(pi, pj, sc.p_i, sc.p_j)           # [C, 3, 6]
+    Ji = Ji * vf[..., None]
+    Jj = Jj * vf[..., None]
+    J = jnp.concatenate([Ji, Jj], axis=-1)                # [C, 3, 12]
+    Hc = jnp.einsum("cri,crj->cij", J, J)                 # [C, 12, 12]
+    bc = jnp.einsum("cri,cr->ci", J, r)                   # [C, 12]
+    contrib = jnp.concatenate([Hc.reshape(-1, 144), bc], axis=-1)  # [C, 156]
+    csum = jnp.cumsum(contrib, axis=0)
+    csum_ex = jnp.concatenate([jnp.zeros((1, 156)), csum[:-1]], axis=0)
+    seg = csum[sc.ends] - csum_ex[sc.starts]              # [P, 156] row gathers
+    seg = jnp.where(sc.pair_valid[:, None], seg, 0.0)
+    H = seg[:, :144].reshape(-1, 12, 12)
+    b = seg[:, 144:156]
+    return H, b
+
+
+def pair_incidence(pair_i, pair_j, pair_valid, num_frames: int):
+    """One-hot pair->pose incidence [P, N] f32 (built once per solve; the
+    PCG matvecs ride the MXU through these — one-hot contractions are
+    exact, every accumulation has a single nonzero addend)."""
+    n = jnp.arange(num_frames)
+    oh_i = (pair_i[:, None] == n[None]) & pair_valid[:, None]
+    oh_j = (pair_j[:, None] == n[None]) & pair_valid[:, None]
+    return oh_i.astype(jnp.float32), oh_j.astype(jnp.float32)
+
+
+def _pair_matvec_f32(H, oh_i, oh_j, x):
+    """x [N, 6] -> sum_p S_p^T H_p S_p x."""
+    xi = jnp.dot(oh_i, x)
+    xj = jnp.dot(oh_j, x)
+    xij = jnp.concatenate([xi, xj], axis=-1)              # [P, 12]
+    y = jnp.einsum("pab,pb->pa", H, xij)                  # [P, 12]
+    out = jnp.dot(oh_i.T, y[:, :6])
+    return out + jnp.dot(oh_j.T, y[:, 6:])
+
+
+def _pair_rhs(b, oh_i, oh_j):
+    out = jnp.dot(oh_i.T, b[:, :6])
+    return out + jnp.dot(oh_j.T, b[:, 6:])
+
+
+def _pair_precond(H, oh_i, oh_j, num_frames: int):
+    """Block-Jacobi 6x6 blocks: sum of each pose's ii/jj diagonal blocks."""
+    Hii = H[:, :6, :6].reshape(-1, 36)
+    Hjj = H[:, 6:, 6:].reshape(-1, 36)
+    P6 = jnp.dot(oh_i.T, Hii) + jnp.dot(oh_j.T, Hjj)
+    return P6.reshape(num_frames, 6, 6)
+
+
 @partial(jax.jit, static_argnames=("params", "num_frames_static"))
 def solve_sparse(
     poses,
@@ -120,68 +252,34 @@ def solve_sparse(
     """
     N = poses.shape[0]
     w_sqrt = jnp.sqrt(jnp.asarray(params.sparse_weight, jnp.float32))
+    P_cap = min(params.max_pairs, N * (N + 1) // 2 + 1)
 
     # frame 0 fixed + invalid poses frozen
     free = pose_valid & (jnp.arange(N) != 0)
     free_f = free.astype(jnp.float32)[:, None]
 
-    v = corrs.valid_mask()
-    vf = v.astype(jnp.float32)[:, None]
-
-    # one-hot incidence matrices: segment-sums (J^T) and gathers (J) become
-    # MXU matmuls instead of TPU-hostile scatter/gather loops. Invalid corrs
-    # get an all-zero row.
-    oh_i = jax.nn.one_hot(jnp.where(v, corrs.img_i, N), N, dtype=jnp.float32)
-    oh_j = jax.nn.one_hot(jnp.where(v, corrs.img_j, N), N, dtype=jnp.float32)
+    sc = sort_corrs_by_pair(corrs, N, P_cap)
+    oh_i, oh_j = pair_incidence(sc.pair_i, sc.pair_j, sc.pair_valid, N)
 
     c0 = cost(poses, corrs)
 
     def gn_iter(it, carry):
         poses, done, last_delta = carry
+        H, b = build_sparse_pair_system(poses, sc, w_sqrt)
+        rhs = -_pair_rhs(b, oh_i, oh_j) * free_f
 
-        pi = _gather_poses(poses, corrs.img_i)
-        pj = _gather_poses(poses, corrs.img_j)
-        r = _res_batch(pi, pj, corrs.p_i, corrs.p_j) * vf * w_sqrt
-        Ji, Jj = _jac_batch(pi, pj, corrs.p_i, corrs.p_j)  # [C, 3, 6]
-        Ji = Ji * vf[..., None] * w_sqrt
-        Jj = Jj * vf[..., None] * w_sqrt
-
-        def JT(y):  # y [C, 3] -> [N, 6]
-            gi = jnp.einsum("cij,ci->cj", Ji, y)
-            gj = jnp.einsum("cij,ci->cj", Jj, y)
-            out = jnp.einsum("cn,cj->nj", oh_i, gi) + jnp.einsum(
-                "cn,cj->nj", oh_j, gj
-            )
-            return out * free_f
-
-        def J(x):  # x [N, 6] -> [C, 3]
-            xf = x * free_f
-            xi = oh_i @ xf
-            xj = oh_j @ xf
-            return jnp.einsum("cij,cj->ci", Ji, xi) + jnp.einsum(
-                "cij,cj->ci", Jj, xj
-            )
-
-        b = -JT(r)  # [N, 6] right-hand side
-
-        # block-Jacobi preconditioner: 6x6 per pose
-        Pi = jnp.einsum("cik,cil->ckl", Ji, Ji).reshape(-1, 36)
-        Pj = jnp.einsum("cik,cil->ckl", Jj, Jj).reshape(-1, 36)
-        P = (
-            jnp.einsum("cn,cp->np", oh_i, Pi) + jnp.einsum("cn,cp->np", oh_j, Pj)
-        ).reshape(N, 6, 6)
-        P = P + jnp.eye(6) * 1e-6
+        P = _pair_precond(H, oh_i, oh_j, N) + jnp.eye(6) * 1e-6
         P_inv = jnp.linalg.inv(P)
 
         def apply_P(x):
             return jnp.einsum("nij,nj->ni", P_inv, x) * free_f
 
         def A(x):
-            return JT(J(x))
+            return _pair_matvec_f32(H, oh_i, oh_j, x * free_f) * free_f
 
         # PCG
         x0 = jnp.zeros_like(poses)
-        r0 = b
+        r0 = rhs
         z0 = apply_P(r0)
         p0 = z0
         rz0 = jnp.sum(r0 * z0)
@@ -222,6 +320,7 @@ def solve_sparse(
         num_gn_done=jnp.asarray(params.num_gn),
         max_residual=mr,
         max_residual_corr=mr_idx,
+        num_pairs_dropped=sc.dropped,
     )
     return poses_out, stats
 
@@ -246,7 +345,7 @@ def solve_bundle(
       cache: DenseCache over the same frame indexing as ``corrs``/poses.
       dense_weights: [num_gn] per-iteration dense-depth weights (reference
         schedules: local = iter+1, global-at-end = 15; ``SBA.cpp:28-38``).
-      w_color: photometric weight (reference default 0).
+      w_color: photometric weight (reference: 0.1 in the global-at-end solve).
 
     Returns (poses, SolveStats).
     """
@@ -264,61 +363,44 @@ def solve_bundle(
     if dense_weights is None:
         dense_weights = jnp.arange(1, params.num_gn + 1, dtype=jnp.float32)
     dense_weights = jnp.asarray(dense_weights, jnp.float32)
+    w_sqrt = jnp.sqrt(jnp.asarray(params.sparse_weight, jnp.float32))
+    P_cap = min(params.max_pairs, N * (N + 1) // 2 + 1)
 
     free = pose_valid & (jnp.arange(N) != 0)
     free_f = free.astype(jnp.float32)[:, None]
-    v = corrs.valid_mask()
-    vf = v.astype(jnp.float32)[:, None]
-    oh_i = jax.nn.one_hot(jnp.where(v, corrs.img_i, N), N, dtype=jnp.float32)
-    oh_j = jax.nn.one_hot(jnp.where(v, corrs.img_j, N), N, dtype=jnp.float32)
+    sc = sort_corrs_by_pair(corrs, N, P_cap)
+    oh_i, oh_j = pair_incidence(sc.pair_i, sc.pair_j, sc.pair_valid, N)
     c0 = cost(poses, corrs)
 
     def gn_iter(it, carry):
         poses, done = carry
         w_dense = dense_weights[jnp.minimum(it, dense_weights.shape[0] - 1)]
 
-        pi = _gather_poses(poses, corrs.img_i)
-        pj = _gather_poses(poses, corrs.img_j)
-        r = _res_batch(pi, pj, corrs.p_i, corrs.p_j) * vf
-        Ji, Jj = _jac_batch(pi, pj, corrs.p_i, corrs.p_j)
-        Ji = Ji * vf[..., None]
-        Jj = Jj * vf[..., None]
-
+        H, b = build_sparse_pair_system(poses, sc, w_sqrt)
         pairs, pair_mask = find_overlapping_pairs(poses, pose_valid, cache, intr, dp)
         dsys = build_dense_system(poses, pairs, pair_mask, cache, intr, dp, 1.0, w_color)
 
-        def JT(y):
-            gi = jnp.einsum("cij,ci->cj", Ji, y)
-            gj = jnp.einsum("cij,ci->cj", Jj, y)
-            out = jnp.einsum("cn,cj->nj", oh_i, gi) + jnp.einsum(
-                "cn,cj->nj", oh_j, gj
-            )
-            return out * free_f
+        rhs = (-_pair_rhs(b, oh_i, oh_j) + w_dense * dense_rhs(dsys, N)) * free_f
 
-        def J(x):
-            xf = x * free_f
-            xi = oh_i @ xf
-            xj = oh_j @ xf
-            return jnp.einsum("cij,cj->ci", Ji, xi) + jnp.einsum("cij,cj->ci", Jj, xj)
-
-        b = -JT(r) + w_dense * dense_rhs(dsys, N) * free_f
-
-        Pi = jnp.einsum("cik,cil->ckl", Ji, Ji).reshape(-1, 36)
-        Pj = jnp.einsum("cik,cil->ckl", Jj, Jj).reshape(-1, 36)
         P = (
-            jnp.einsum("cn,cp->np", oh_i, Pi) + jnp.einsum("cn,cp->np", oh_j, Pj)
-        ).reshape(N, 6, 6)
-        P = P + w_dense * dense_precond_blocks(dsys, N) + jnp.eye(6) * 1e-6
+            _pair_precond(H, oh_i, oh_j, N)
+            + w_dense * dense_precond_blocks(dsys, N)
+            + jnp.eye(6) * 1e-6
+        )
         P_inv = jnp.linalg.inv(P)
 
         def apply_P(x):
             return jnp.einsum("nij,nj->ni", P_inv, x) * free_f
 
         def A(x):
-            return JT(J(x)) + w_dense * dense_matvec(dsys, x * free_f, N) * free_f
+            xf = x * free_f
+            return (
+                _pair_matvec_f32(H, oh_i, oh_j, xf)
+                + w_dense * dense_matvec(dsys, xf, N)
+            ) * free_f
 
         x0 = jnp.zeros_like(poses)
-        r0 = b
+        r0 = rhs
         z0 = apply_P(r0)
         rz0 = jnp.sum(r0 * z0)
 
@@ -357,4 +439,5 @@ def solve_bundle(
         num_gn_done=jnp.asarray(params.num_gn),
         max_residual=mr,
         max_residual_corr=mr_idx,
+        num_pairs_dropped=sc.dropped,
     )
