@@ -140,6 +140,14 @@ class BundlingConfig:
     # enables denseColor=0.1 with gradient gating there, SBA.cpp:28-38)
     dense_color_at_end_weight: float = 0.1
     num_opt_per_residual_removal: int = 1
+    # prune-and-resolve rounds per global solve. The reference removes one
+    # max-residual pair per solve but solves every frame
+    # (s_numOptPerResidualRemoval=1, SBA.cpp:169-204); this engine solves
+    # once per submap, so several rounds match the reference cadence.
+    max_prune_rounds: int = 3
+    # NEW_GUIDED_REMOVE (CUDASolverBundling.cpp:298-427): multi-pair removal
+    # of bad long-range loop closures (compile-gated off in the reference)
+    use_guided_remove: bool = False
 
     # dense BA term (zParametersBundlingDefault.txt:22-28,44-52)
     opt_max_res_thresh: float = 0.08

@@ -90,9 +90,16 @@ from bundlefusion_tpu.pipeline.frontend import (
 )
 from bundlefusion_tpu.pipeline.trajectory import TrajectoryManager
 from bundlefusion_tpu.solver.dense_term import DenseTermParams
-from bundlefusion_tpu.solver.gn_pcg import SolverParams, solve_bundle, solve_sparse
+from bundlefusion_tpu.solver.gn_pcg import (
+    SolverParams,
+    compute_residuals,
+    max_residual,
+    solve_bundle,
+    solve_sparse,
+)
 from bundlefusion_tpu.solver.residuals import (
     CorrStore,
+    corr_counts_per_frame,
     create_corr_store,
     invalidate_image_pair,
 )
@@ -599,25 +606,69 @@ class BundleFusion:
                 )
                 kf_valid = kf_valid.at[g].set(kf_valid[g] & matched)
                 kv = kf_valid & (jnp.arange(G) <= g)
+                prev_poses = glob.poses  # trajectory before this solve
                 sposes, stats = solve_sparse(glob.poses, kv, corrs, global_solver)
-                # residual pruning (SBA::removeMaxResidualCUDA, SBA.cpp:169-204)
-                ci = stats.max_residual_corr
-                fa = corrs.img_i[ci]
-                fb = corrs.img_j[ci]
-                do_prune = (
-                    (stats.max_residual > bundling.opt_max_res_thresh)
-                    & (fa >= 0) & (fb >= 0)
+
+                # ---- residual pruning, multiple rounds per solve ----
+                # (SBA::removeMaxResidualCUDA, SBA.cpp:169-204; the reference
+                # prunes once per solve but solves every frame with
+                # s_numOptPerResidualRemoval=1 — one solve per submap here,
+                # so run up to max_prune_rounds rounds to match cadence)
+                def prune_round(carry, _):
+                    corrs, sposes = carry
+                    mr, ci = max_residual(sposes, corrs)
+                    fa = corrs.img_i[ci]
+                    fb = corrs.img_j[ci]
+                    do = (mr > bundling.opt_max_res_thresh) & (fa >= 0) & (fb >= 0)
+
+                    def prune(c):
+                        c = invalidate_image_pair(c, fa, fb)
+                        if bundling.use_guided_remove:
+                            # NEW_GUIDED_REMOVE (CUDASolverBundling.cpp:298-427):
+                            # when badly off, also remove long-range pairs of
+                            # the newest keyframe whose residual is high now
+                            # AND was >1.5x higher under the previous
+                            # trajectory (a bad loop closure, not drift)
+                            r_now, v_ = compute_residuals(sposes, c)
+                            m_now = jnp.max(jnp.abs(r_now), -1)
+                            r_prev, _ = compute_residuals(prev_poses, c)
+                            m_prev = jnp.max(jnp.abs(r_prev), -1)
+                            hi_thresh = jnp.clip(0.2 * mr, 0.1, 0.4)
+                            qual = (
+                                v_ & (mr > 0.2)
+                                & (m_now > hi_thresh)
+                                & (c.img_i == g)
+                                & (jnp.abs(c.img_i - c.img_j) > 10)
+                                & (m_prev > 1.5 * m_now)
+                            )
+                            pid = jnp.where(v_, c.img_i * G + c.img_j, G * G)
+                            killed = jnp.zeros((G * G + 1,), bool).at[
+                                jnp.where(qual, pid, G * G)
+                            ].set(True, mode="drop")
+                            c = c._replace(
+                                img_i=jnp.where(killed[pid], -1, c.img_i)
+                            )
+                        p2, _ = solve_sparse(prev_poses, kv, c, global_solver)
+                        return c, p2
+
+                    corrs, sposes = jax.lax.cond(
+                        do, prune, lambda c: (c, sposes), corrs
+                    )
+                    return (corrs, sposes), do
+
+                (corrs, sposes), _ = jax.lax.scan(
+                    prune_round, (corrs, sposes), None,
+                    length=bundling.max_prune_rounds,
                 )
 
-                def prune(args):
-                    corrs, _ = args
-                    corrs2 = invalidate_image_pair(corrs, fa, fb)
-                    sposes2, _ = solve_sparse(glob.poses, kv, corrs2, global_solver)
-                    return corrs2, sposes2
-
-                corrs, sposes = jax.lax.cond(
-                    do_prune, prune, lambda a: a, (corrs, sposes)
-                )
+                # ---- comprehensive frame invalidation: valid keyframes left
+                # without correspondences after pruning lose their pose
+                # (CheckForInvalidFramesCU, SIFTImageManager.cu:725-764) ----
+                if bundling.use_comprehensive_frame_invalidation:
+                    counts = corr_counts_per_frame(corrs, G)
+                    ks = jnp.arange(G)
+                    keep = (counts > 0) | (ks == 0) | (ks > g)
+                    kf_valid = kf_valid & keep
                 return glob._replace(corrs=corrs, poses=sposes), kf_valid, matched
 
             def no_global(op):
@@ -975,8 +1026,16 @@ class BundleFusion:
 
         world = pack[: self._off_lv].reshape(S, 4, 4)
         lv = pack[self._off_lv : self._off_kf] > 0.5
+        prev_kf_valid = self.keyframe_valid
         self.keyframe_valid = pack[self._off_kf : self._off_flags] > 0.5
         matched = pack[self._off_flags + 1] > 0.5
+        # keyframes that LOST validity during this solve (residual pruning +
+        # comprehensive frame invalidation) queue for relocalization retries,
+        # exactly like freshly-lost keyframes (SIFTImageManager retry list)
+        for k in np.where(prev_kf_valid[: g + 1] & ~self.keyframe_valid[: g + 1])[0]:
+            k = int(k)
+            if k not in self.retry_list and self.retry_attempts.get(k, 0) < self.max_retry_attempts:
+                self.retry_list.append(k)
         comp = pack[self._off_comp : self._off_ok].reshape(-1, 4, 4)
         comp_ok = pack[self._off_ok :] > 0.5
 
