@@ -50,6 +50,8 @@ def shard_corrs(corrs: CorrStore, mesh: Mesh, axis: str = "shard") -> CorrStore:
         img_j=jax.device_put(corrs.img_j, sh),
         p_i=jax.device_put(corrs.p_i, sh),
         p_j=jax.device_put(corrs.p_j, sh),
+        key_i=jax.device_put(corrs.key_i, sh),
+        key_j=jax.device_put(corrs.key_j, sh),
         count=jax.device_put(corrs.count, NamedSharding(mesh, P())),
     )
 

@@ -17,7 +17,7 @@ import jax
 import jax.numpy as jnp
 
 from bundlefusion_tpu.geometry.camera import CameraIntrinsics
-from bundlefusion_tpu.geometry.lie import pose_inverse, transform_points
+from bundlefusion_tpu.geometry.lie import pose_inverse
 from bundlefusion_tpu.ops.filters import (
     DenseVerifyParams,
     dense_verify_pair,
@@ -131,6 +131,8 @@ def match_and_filter(
         "idx_prev": matches.idx_j,
         "p_cur": p_cur,
         "p_prev": p_prev,
+        "cur_slot": cur_slot,
+        "num_keys_per_frame": keys.keys_per_frame,
     }
 
 
@@ -142,11 +144,17 @@ def add_to_residuals(
     prev_frame_global,     # int32 [P] global image indices of the slots
 ) -> CorrStore:
     """Append surviving matches as EntryJ residuals
-    (``AddCurrToResidualsCU``, SIFTImageManager.cu:610-687)."""
+    (``AddCurrToResidualsCU``, SIFTImageManager.cu:610-687). Also records
+    flat key ids (slot * K + key index) per endpoint — the reference's
+    ``d_globMatchesKeyPointIndices`` — consumed by track fusion."""
     P, R = mf["inlier_mask"].shape
+    K = mf["num_keys_per_frame"]
     v = mf["inlier_mask"].reshape(-1)
     img_i = jnp.broadcast_to(cur_frame_global, (P, R)).reshape(-1)
     img_j = jnp.broadcast_to(prev_frame_global[:, None], (P, R)).reshape(-1)
+    cur_slot = mf["cur_slot"]
+    key_i = (cur_slot * K + mf["idx_cur"]).reshape(-1)
+    key_j = (jnp.arange(P, dtype=jnp.int32)[:, None] * K + mf["idx_prev"]).reshape(-1)
     return append_corrs(
         store,
         img_i.astype(jnp.int32),
@@ -154,6 +162,8 @@ def add_to_residuals(
         mf["p_cur"].reshape(-1, 3),
         mf["p_prev"].reshape(-1, 3),
         v,
+        key_i.astype(jnp.int32),
+        key_j.astype(jnp.int32),
     )
 
 
@@ -176,78 +186,107 @@ def chained_sift_transform(mf, prev_world_transforms):
     return jnp.where(found, T, jnp.eye(4)), found, best
 
 
-@partial(jax.jit, static_argnames=("intr_sift", "max_out_keys", "grid_px"))
+# maximum world-space corr error for a match to contribute to a track's
+# averaged position (MAX_TRACK_CORR_ERROR, SIFTImageManager.cpp:380)
+MAX_TRACK_CORR_ERROR = 0.03
+
+
+@partial(jax.jit, static_argnames=("intr_sift", "max_out_keys"))
 def fuse_keyframe(
     keys: KeyframeStore,
-    local_world,           # [S, 4, 4] solved submap trajectory (frame->world of submap base)
+    corrs: CorrStore,
+    local_world,           # [S, 4, 4] solved submap trajectory (frame->frame0)
     frame0_slot,
     intr_sift: CameraIntrinsics,
     max_out_keys: int = 1024,
-    grid_px: int = 4,
 ):
-    """Fuse a solved submap's keypoints into one keyframe in frame-0 coords.
+    """Fuse a solved submap's keypoints into one keyframe in frame-0 coords
+    by feature *tracks*, mirroring ``SIFTImageManager::fuseToGlobal`` +
+    ``computeTracks`` (SIFTImageManager.cpp:380-476):
 
-    The reference fuses feature *tracks* (matched keys averaged over the
-    submap, ``SIFTImageManager::fuseToGlobal`` SIFTImageManager.cpp:414-476)
-    capped at 1024 keys sorted by depth. This TPU variant projects every
-    valid key of every submap frame into frame 0, dedups on a ``grid_px``
-    pixel grid keeping the strongest response, and keeps the top
-    ``max_out_keys`` — a superset of the track heads with the same cap and
-    coordinate convention.
+    - tracks = connected components of keypoints linked by the submap's
+      filtered correspondences (label propagation over the corr edges —
+      the XLA-friendly replacement for the reference's recursive
+      ``findTrack``);
+    - a track's position is the average of its members' solved-trajectory
+      world positions, counting only corrs with error < 0.03 m (high-error
+      corrs still join the component but contribute no position);
+    - the representative descriptor/scale come from the track's seed key
+      (lowest key id — the reference's ``track.front()``);
+    - the averaged position projects into frame 0; up to ``max_out_keys``
+      keys survive, nearest-depth first (the reference sorts by depth when
+      exceeding the 1024 cap).
 
     Returns a dict of fused key arrays (pos/depth/response/valid/desc).
     """
     S, K = keys.valid.shape
+    NK = S * K
     T0_inv = pose_inverse(local_world[frame0_slot])
-
-    # camera-space -> frame0 space for every key of every frame
-    p_cam = backproject_keys(keys.pos, keys.depth, intr_sift)       # [S, K, 3]
     rel = jax.vmap(lambda T: T0_inv @ T)(local_world)               # [S, 4, 4]
-    p0 = jax.vmap(transform_points)(rel, p_cam)                     # [S, K, 3]
-    z = p0[..., 2]
-    u = p0[..., 0] / jnp.maximum(z, 1e-6) * intr_sift.fx + intr_sift.cx
-    v = p0[..., 1] / jnp.maximum(z, 1e-6) * intr_sift.fy + intr_sift.cy
-    ok = (
-        keys.valid
-        & keys.frame_valid[:, None]
-        & (z > 0.05)
+
+    key_ok = (keys.valid & keys.frame_valid[:, None]).reshape(NK)
+
+    # ---- edges ----
+    v = corrs.valid_mask()
+    ki = jnp.clip(corrs.key_i, 0, NK - 1)
+    kj = jnp.clip(corrs.key_j, 0, NK - 1)
+    v = v & key_ok[ki] & key_ok[kj]
+    Ti = rel[jnp.clip(corrs.img_i, 0, S - 1)]
+    Tj = rel[jnp.clip(corrs.img_j, 0, S - 1)]
+    wi = jnp.einsum("cab,cb->ca", Ti[:, :3, :3], corrs.p_i) + Ti[:, :3, 3]
+    wj = jnp.einsum("cab,cb->ca", Tj[:, :3, :3], corrs.p_j) + Tj[:, :3, 3]
+    err = jnp.linalg.norm(wi - wj, axis=-1)
+    low = v & (err < MAX_TRACK_CORR_ERROR)
+
+    # ---- connected components by min-label propagation ----
+    labels = jnp.where(key_ok, jnp.arange(NK, dtype=jnp.int32), NK)
+
+    def prop(_, labels):
+        li = labels[ki]
+        lj = labels[kj]
+        m = jnp.minimum(li, lj)
+        labels = labels.at[jnp.where(v, ki, NK)].min(m, mode="drop")
+        labels = labels.at[jnp.where(v, kj, NK)].min(m, mode="drop")
+        return labels
+
+    labels = jax.lax.fori_loop(0, S + 2, prop, labels)
+
+    # ---- per-track position average over low-error members ----
+    lab_e = jnp.where(low, labels[ki], NK)                          # == labels[kj]
+    sum_pos = jnp.zeros((NK + 1, 3), jnp.float32)
+    sum_pos = sum_pos.at[lab_e].add(wi + wj, mode="drop")
+    cnt = jnp.zeros((NK + 1,), jnp.float32).at[lab_e].add(
+        jnp.where(low, 2.0, 0.0), mode="drop"
+    )
+    avg = sum_pos[:NK] / jnp.maximum(cnt[:NK, None], 1.0)
+
+    # ---- roots -> fused keys ----
+    own = jnp.arange(NK, dtype=jnp.int32)
+    root = key_ok & (labels == own) & (cnt[:NK] > 0)
+    z = avg[:, 2]
+    u = avg[:, 0] / jnp.maximum(z, 1e-6) * intr_sift.fx + intr_sift.cx
+    vv = avg[:, 1] / jnp.maximum(z, 1e-6) * intr_sift.fy + intr_sift.cy
+    out_ok = (
+        root & (z > 0.05)
         & (u >= 0) & (u <= intr_sift.width - 1)
-        & (v >= 0) & (v <= intr_sift.height - 1)
+        & (vv >= 0) & (vv <= intr_sift.height - 1)
     )
 
-    N = S * K
-    uf = u.reshape(N)
-    vf = v.reshape(N)
-    zf = z.reshape(N)
-    okf = ok.reshape(N)
-    resp = keys.response.reshape(N)
-    desc = keys.desc.reshape(N, 128)
-    scale = keys.scale.reshape(N)
-
-    # dedup on a pixel grid: cell id + keep max response per cell
-    cw = (intr_sift.width + grid_px - 1) // grid_px
-    cell = (vf / grid_px).astype(jnp.int32) * cw + (uf / grid_px).astype(jnp.int32)
-    cell = jnp.where(okf, cell, jnp.int32(2**31 - 1))
-    # sort by (cell asc, response desc)
-    order = jnp.lexsort((-resp, cell))
-    cell_s = cell[order]
-    first = jnp.concatenate(
-        [jnp.ones((1,), bool), cell_s[1:] != cell_s[:-1]]
-    ) & (cell_s != 2**31 - 1)
-    resp_s = jnp.where(first, resp[order], -1.0)
-    k_eff = min(max_out_keys, N)
-    top_resp, top_i = jax.lax.top_k(resp_s, k_eff)
+    # nearest-depth-first cap (reference depth sort at the 1024 cap)
+    score = jnp.where(out_ok, -z, -jnp.inf)
+    k_eff = min(max_out_keys, NK)
+    top_score, sel = jax.lax.top_k(score, k_eff)
     if k_eff < max_out_keys:
         pad = max_out_keys - k_eff
-        top_resp = jnp.concatenate([top_resp, jnp.full((pad,), -1.0)])
-        top_i = jnp.concatenate([top_i, jnp.zeros((pad,), top_i.dtype)])
-    sel = order[jnp.clip(top_i, 0, N - 1)]
-    valid_out = top_resp > 0
+        top_score = jnp.concatenate([top_score, jnp.full((pad,), -jnp.inf)])
+        sel = jnp.concatenate([sel, jnp.zeros((pad,), sel.dtype)])
+    valid_out = jnp.isfinite(top_score)
+    resp = keys.response.reshape(NK)
     return {
-        "pos": jnp.stack([uf[sel], vf[sel]], -1),
-        "depth": zf[sel],
+        "pos": jnp.stack([u[sel], vv[sel]], -1),
+        "depth": z[sel],
         "response": jnp.where(valid_out, resp[sel], 0.0),
-        "scale": scale[sel],
+        "scale": keys.scale.reshape(NK)[sel],
         "valid": valid_out,
-        "desc": desc[sel],
+        "desc": keys.desc.reshape(NK, 128)[sel],
     }

@@ -569,9 +569,11 @@ class BundleFusion:
                 local_valid=glob.local_valid.at[g].set(lv_out),
             )
 
-            # fuse keyframe from the solved submap (anchor frame 0)
+            # fuse keyframe from the solved submap's feature tracks
+            # (anchor frame 0; SIFTImageManager::fuseToGlobal)
             fused = fuse_keyframe(
-                local.keys, local_world, 0, intr_sift, glob.keys.keys_per_frame
+                local.keys, local.corrs, local_world, 0, intr_sift,
+                glob.keys.keys_per_frame,
             )
             gk = glob.keys
             gk = gk._replace(

@@ -22,6 +22,10 @@ class CorrStore(NamedTuple):
     img_j: jax.Array   # int32 [C]
     p_i: jax.Array     # float32 [C, 3] camera-space point in frame i
     p_j: jax.Array     # float32 [C, 3] camera-space point in frame j
+    key_i: jax.Array   # int32 [C] flat keypoint id (slot * K + key index) —
+                       # the d_globMatchesKeyPointIndices analog, used by
+                       # track-based keyframe fusion
+    key_j: jax.Array   # int32 [C]
     count: jax.Array   # int32 [] append cursor (entries may be invalidated)
 
     @property
@@ -38,11 +42,15 @@ def create_corr_store(capacity: int) -> CorrStore:
         img_j=jnp.full((capacity,), -1, jnp.int32),
         p_i=jnp.zeros((capacity, 3), jnp.float32),
         p_j=jnp.zeros((capacity, 3), jnp.float32),
+        key_i=jnp.zeros((capacity,), jnp.int32),
+        key_j=jnp.zeros((capacity,), jnp.int32),
         count=jnp.asarray(0, jnp.int32),
     )
 
 
-def append_corrs(store: CorrStore, img_i, img_j, p_i, p_j, valid) -> CorrStore:
+def append_corrs(
+    store: CorrStore, img_i, img_j, p_i, p_j, valid, key_i=None, key_j=None
+) -> CorrStore:
     """Append a batch of correspondences at the cursor (mirrors
     ``AddCurrToResidualsCU`` which atomically appends surviving matches).
 
@@ -56,11 +64,17 @@ def append_corrs(store: CorrStore, img_i, img_j, p_i, p_j, valid) -> CorrStore:
     n_added = jnp.minimum(
         jnp.sum(v.astype(jnp.int32)), store.capacity - store.count
     )
+    if key_i is None:
+        key_i = jnp.zeros_like(img_i)
+    if key_j is None:
+        key_j = jnp.zeros_like(img_j)
     return store._replace(
         img_i=store.img_i.at[dst].set(jnp.where(v, img_i, -1), mode="drop"),
         img_j=store.img_j.at[dst].set(jnp.where(v, img_j, -1), mode="drop"),
         p_i=store.p_i.at[dst].set(p_i, mode="drop"),
         p_j=store.p_j.at[dst].set(p_j, mode="drop"),
+        key_i=store.key_i.at[dst].set(key_i, mode="drop"),
+        key_j=store.key_j.at[dst].set(key_j, mode="drop"),
         count=store.count + n_added,
     )
 

@@ -70,6 +70,12 @@ TILE = 128                        # payload rows per DMA chunk (fewer, larger
 HT = 32                           # sampling chunk rows (bounds the one-hot
                                   # and rows transients to ~36 MB VMEM)
 WIN = 64                          # u-window columns for MXU sampling
+VW = 128                          # v-window columns (HP is always >= 128);
+                                  # the windowed path contracts
+                                  # [HT*V, WIN] @ [WIN, 5*VW] instead of 5x
+                                  # [HT*V, WIN] @ [WIN, HP] — half the FLOPs
+                                  # at HP=256 and one MXU pass for all
+                                  # channels
 
 
 def _apply_kernel(
@@ -131,6 +137,9 @@ def _apply_kernel(
     v_ids = jax.lax.broadcasted_iota(jnp.int32, (1, 1, HP), 2)
     u_ids_win = jax.lax.broadcasted_iota(jnp.int32, (1, 1, WIN), 2)
     u_ids_full = jax.lax.broadcasted_iota(jnp.int32, (1, 1, W), 2)
+    vw_ids = jax.lax.broadcasted_iota(jnp.int32, (1, 1, VW), 2)
+    hp_ids_col = jax.lax.broadcasted_iota(jnp.int32, (HP, VW), 0)
+    vw_ids_row = jax.lax.broadcasted_iota(jnp.int32, (HP, VW), 1)
 
     def in_dmas(t, slot):
         off = pl.multiple_of(t * TILE, TILE)
@@ -260,6 +269,44 @@ def _apply_kernel(
                         )  # [HT*V, 1] bf16, exact for the same reason
                         samp[ch, pl.ds(off, HT)] = val.astype(jnp.float32).reshape(HT, V)
 
+                def samp_win(off, u0, v0, um_c, vm_c):
+                    # double-windowed path: one channel-stacked contraction
+                    # [HT*V, WIN] @ [WIN, 5*VW] after shrinking each
+                    # channel's u-window to VW v-columns with a one-hot
+                    # select matmul (exact — single nonzero addend per sum)
+                    oh_u = (
+                        (u_ids_win == (um_c - u0)[:, :, None])
+                        .astype(jnp.bfloat16)
+                        .reshape(HT * V, WIN)
+                    )
+                    vsel = (hp_ids_col == v0 + vw_ids_row).astype(jnp.bfloat16)
+                    parts = []
+                    for ch in range(5):
+                        win = img5_ref[
+                            pl.ds((img * 5 + ch) * W + u0, WIN), :
+                        ]  # [WIN, HP]
+                        parts.append(
+                            jnp.dot(
+                                win, vsel, preferred_element_type=jnp.float32
+                            ).astype(jnp.bfloat16)
+                        )
+                    win5 = jnp.concatenate(parts, axis=1)  # [WIN, 5*VW]
+                    rows5 = jnp.dot(
+                        oh_u, win5, preferred_element_type=jnp.float32
+                    ).astype(jnp.bfloat16)                 # [HT*V, 5*VW]
+                    oh_vw = (
+                        (vw_ids == (vm_c - v0)[:, :, None])
+                        .astype(jnp.bfloat16)
+                        .reshape(HT * V, VW)
+                    )
+                    for ch in range(5):
+                        val = jnp.sum(
+                            rows5[:, ch * VW : (ch + 1) * VW] * oh_vw,
+                            axis=1,
+                            keepdims=True,
+                        )
+                        samp[ch, pl.ds(off, HT)] = val.astype(jnp.float32).reshape(HT, V)
+
                 def chunk_body(h, _):
                     off = pl.multiple_of(h * HT, HT)
                     um_c = uvb[0, pl.ds(off, HT)]   # (HT, V), -1 = invalid
@@ -274,8 +321,16 @@ def _apply_kernel(
                         # even when W - WIN is not 8-aligned
                         u0w = jnp.clip(min_u & ~7, 0, (W - WIN) & ~7)
                         fits = max_u < u0w + WIN
+                        min_v = jnp.min(jnp.where(vm_c >= 0, vm_c, HP))
+                        max_v = jnp.max(vm_c)
+                        v0w = jnp.clip(min_v, 0, HP - VW)
+                        fits_v = max_v < v0w + VW
 
-                        @pl.when(fits)
+                        @pl.when(fits & fits_v)
+                        def _():
+                            samp_win(off, pl.multiple_of(u0w, 8), v0w, um_c, vm_c)
+
+                        @pl.when(fits & jnp.logical_not(fits_v))
                         def _():
                             samp_chunk(off, WIN, pl.multiple_of(u0w, 8),
                                        u_ids_win, um_c, vm_c)

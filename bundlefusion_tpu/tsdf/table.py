@@ -222,10 +222,27 @@ def allocate_packed(
         jnp.where(keep & (cpos < M), cpos, M)
     ].set(packed_all, mode="drop")
 
-    # presence check needs no sorting of the queries (the TABLE is sorted) —
-    # keeping the candidate sort inside the merge branch makes the steady
-    # state (revisited space, nothing to allocate) a single binary search
-    missing = (lookup_packed(table, packed_raw) < 0) & (packed_raw != EMPTY_KEY)
+    # Presence check by SORT-MERGE, not binary search: jnp.searchsorted
+    # lowers to ~17 sequential gather rounds (~10 ms at 37K queries on v5e,
+    # element gathers run at ~90M/s) while one fused sort of
+    # [table keys | queries] runs in well under a millisecond. After the
+    # ascending sort, the most recent table key at each position is the
+    # running max of table-masked values; a query is present iff it equals
+    # that running max.
+    aug = jnp.concatenate([table.keys, packed_raw])
+    order = jnp.argsort(aug)
+    s_keys = aug[order]
+    cap = table.capacity
+    is_table = order < cap
+    last_table = jax.lax.cummax(
+        jnp.where(is_table & (s_keys != EMPTY_KEY), s_keys, jnp.int32(-(2**31)))
+    )
+    present_sorted = (~is_table) & (s_keys == last_table)
+    q_pos = jnp.where(is_table, 0, order - cap)
+    present = jnp.zeros((M,), bool).at[
+        jnp.where(is_table, M, q_pos)
+    ].set(present_sorted, mode="drop")
+    missing = ~present & (packed_raw != EMPTY_KEY)
     num_missing = jnp.sum(missing.astype(jnp.int32))
 
     # The cond carries ONLY the small index arrays (keys/slots/free list) —
