@@ -21,6 +21,7 @@ import json
 import os
 import sys
 import time
+from dataclasses import replace as dataclasses_replace
 
 import numpy as np
 
@@ -121,13 +122,41 @@ def main(argv=None):
         intr = sens_data.depth_intrinsics()
 
         def sens_frames():
-            for i in range(n):
-                yield sens_data.decode_depth(i), sens_data.decode_color(i)
+            # batch depth decode through the native multithreaded codec
+            # (RGBDFrameCacheRead-style prefetch)
+            B = 16
+            for s in range(0, n, B):
+                e = min(n, s + B)
+                depths = sens_data.decode_depth_batch(range(s, e))
+                for k in range(s, e):
+                    yield depths[k - s], sens_data.decode_color(k)
 
         frames = sens_frames()
         gt = sens_data.gt_trajectory()
         gt_poses = gt if np.isfinite(gt).any() else None
         seq_name = os.path.splitext(os.path.basename(input_path))[0]
+        max_keyframes = n // bundling.submap_size + 2
+
+    if args.small and not (args.synthetic or input_path in (None, "synthetic")):
+        # CPU-friendly capacities for file inputs (resolutions follow the file)
+        from bundlefusion_tpu.ops.sift import SiftConfig
+
+        app = dataclasses_replace(
+            app, integration_width=intr.width // 2, integration_height=intr.height // 2,
+            sdf_voxel_size=0.03, sdf_truncation=0.09, hash_num_sdf_blocks=8192,
+            hash_key_capacity=16384, visible_blocks_cap=8192,
+        )
+        bundling = dataclasses_replace(
+            bundling, width_sift=intr.width, height_sift=intr.height,
+            submap_size=4, downsampled_width=intr.width // 4,
+            downsampled_height=intr.height // 4,
+            max_local_corr=2048, max_global_corr=8192,
+            min_num_matches_local=4, min_num_matches_global=4,
+        )
+        sift_cfg = SiftConfig(
+            num_octaves=3, target_keys=96, max_candidates_per_octave=256,
+            min_scale=1.0, dog_thresh=0.004,
+        )
         max_keyframes = n // bundling.submap_size + 2
 
     # ---- run ----

@@ -1,0 +1,161 @@
+"""Engine checkpoint / resume.
+
+The reference has piecemeal save/load: the TSDF hash
+(``StopScanningAndSaveSDFHash``, DepthSensing.cpp:380-423 +
+``CUDASceneRepChunkGrid.h:122-141``), the SIFT state
+(``SIFTImageManager::saveToFile/loadFromFile``, SIFTImageManager.h:277-279)
+and the dense cache (``CUDACache.h:54-142``) — but no unified resume. This
+module serializes the COMPLETE engine state (voxel table, keyframe stores,
+correspondence stores, frame archive, trajectories, scheduler records) into
+one ``.npz`` + JSON config header, so a half-finished scan resumes exactly:
+save mid-sequence, reload, continue — identical trajectory.
+
+bfloat16 leaves (descriptors) are stored as uint16 bit patterns.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+FORMAT_VERSION = 1
+
+
+def _pack_leaf(x):
+    a = np.asarray(x)
+    if a.dtype == jnp.bfloat16:
+        return a.view(np.uint16), "bf16"
+    return a, a.dtype.str
+
+
+def _unpack_leaf(a, tag):
+    if tag == "bf16":
+        return jnp.asarray(a.view(jnp.bfloat16))
+    return jnp.asarray(a)
+
+
+_TREES = ("local", "glob", "store", "table")
+
+
+def save_engine(eng, path: str):
+    """Serialize a BundleFusion engine to ``path`` (.npz)."""
+    eng._flush_pending()
+
+    arrays = {}
+    tags = {}
+    for name in _TREES:
+        leaves = jax.tree.leaves(getattr(eng, name))
+        for i, leaf in enumerate(leaves):
+            a, tag = _pack_leaf(leaf)
+            arrays[f"{name}.{i}"] = a
+            tags[f"{name}.{i}"] = tag
+    arrays["submap_base"] = np.asarray(eng.submap_base)
+    arrays["keyframe_valid"] = eng.keyframe_valid
+    arrays["sift_world"] = (
+        np.stack(eng.sift_world) if eng.sift_world else np.zeros((0, 4, 4), np.float32)
+    )
+    arrays["complete_traj"] = (
+        np.stack(eng.complete_traj)
+        if eng.complete_traj
+        else np.zeros((0, 4, 4), np.float32)
+    )
+    arrays["frame_valid"] = np.asarray(eng.frame_valid, bool)
+
+    # trajectory-manager records (re-integration scheduler)
+    recs = eng.traj_manager.records
+    n = len(recs)
+    states = np.array([int(r.state) for r in recs], np.int32)
+    intT = np.full((n, 4, 4), np.nan, np.float32)
+    optT = np.full((n, 4, 4), np.nan, np.float32)
+    for i, r in enumerate(recs):
+        if r.integrated_transform is not None:
+            intT[i] = r.integrated_transform
+        if r.optimized_transform is not None:
+            optT[i] = r.optimized_transform
+    arrays["tm_states"] = states
+    arrays["tm_int"] = intT
+    arrays["tm_opt"] = optT
+
+    meta = {
+        "version": FORMAT_VERSION,
+        "tags": tags,
+        "app": dataclasses.asdict(eng.app),
+        "bundling": dataclasses.asdict(eng.bundling),
+        "sift": dataclasses.asdict(eng.sift_cfg),
+        "intr": dataclasses.asdict(eng.intr_input),
+        "max_keyframes": eng.G,
+        "frame_idx": eng.frame_idx,
+        "num_keyframes": eng.num_keyframes,
+        "recorded_upto": eng._recorded_upto,
+        "retry_list": eng.retry_list,
+        "retry_attempts": {str(k): v for k, v in eng.retry_attempts.items()},
+        "lost_count": eng.lost_count,
+        "render_every": eng.render_every,
+    }
+    arrays["meta_json"] = np.frombuffer(
+        json.dumps(meta).encode("utf-8"), dtype=np.uint8
+    )
+    with open(path, "wb") as fh:
+        np.savez(fh, **arrays)
+
+
+def load_engine(path: str):
+    """Reconstruct a BundleFusion engine from a checkpoint."""
+    from bundlefusion_tpu.config import AppConfig, BundlingConfig
+    from bundlefusion_tpu.geometry.camera import CameraIntrinsics
+    from bundlefusion_tpu.ops.sift import SiftConfig
+    from bundlefusion_tpu.pipeline.online import BundleFusion
+    from bundlefusion_tpu.pipeline.trajectory import FrameRecord, FrameState
+
+    data = np.load(path, allow_pickle=False)
+    meta = json.loads(bytes(data["meta_json"]).decode("utf-8"))
+    if meta["version"] != FORMAT_VERSION:
+        raise ValueError(f"checkpoint version {meta['version']} != {FORMAT_VERSION}")
+
+    app = AppConfig(**meta["app"])
+    bundling = BundlingConfig(**meta["bundling"])
+    sift = SiftConfig(**meta["sift"])
+    intr = CameraIntrinsics(**meta["intr"])
+    eng = BundleFusion(
+        intr, app, bundling, sift_cfg=sift, max_keyframes=meta["max_keyframes"]
+    )
+
+    tags = meta["tags"]
+    for name in _TREES:
+        template = getattr(eng, name)
+        treedef = jax.tree.structure(template)
+        n_leaves = treedef.num_leaves
+        leaves = [
+            _unpack_leaf(data[f"{name}.{i}"], tags[f"{name}.{i}"])
+            for i in range(n_leaves)
+        ]
+        setattr(eng, name, jax.tree.unflatten(treedef, leaves))
+
+    eng.submap_base = jnp.asarray(data["submap_base"])
+    eng.keyframe_valid = data["keyframe_valid"].copy()
+    eng.sift_world = [t.copy() for t in data["sift_world"]]
+    eng.complete_traj = [t.copy() for t in data["complete_traj"]]
+    eng.frame_valid = [bool(b) for b in data["frame_valid"]]
+    eng.frame_idx = meta["frame_idx"]
+    eng.num_keyframes = meta["num_keyframes"]
+    eng._recorded_upto = meta["recorded_upto"]
+    eng.retry_list = list(meta["retry_list"])
+    eng.retry_attempts = {int(k): v for k, v in meta["retry_attempts"].items()}
+    eng.lost_count = meta["lost_count"]
+    eng.render_every = meta["render_every"]
+
+    recs = []
+    for i in range(len(data["tm_states"])):
+        r = FrameRecord()
+        r.state = FrameState(int(data["tm_states"][i]))
+        iT = data["tm_int"][i]
+        oT = data["tm_opt"][i]
+        r.integrated_transform = iT.copy() if np.isfinite(iT).all() else None
+        r.optimized_transform = oT.copy() if np.isfinite(oT).all() else None
+        recs.append(r)
+    eng.traj_manager.records = recs
+    return eng

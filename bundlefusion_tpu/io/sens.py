@@ -67,14 +67,28 @@ class SensData:
 
     def decode_depth(self, i: int) -> np.ndarray:
         """Frame i depth as float32 meters [H, W]; 0/invalid -> nan."""
-        fr = self.frames[i]
         if self.compression_depth == 0:
-            raw = np.frombuffer(fr.depth_bytes, np.uint16)
-        else:
-            raw = np.frombuffer(zlib.decompress(fr.depth_bytes), np.uint16)
-        d = raw.reshape(self.depth_height, self.depth_width).astype(np.float32)
-        d = d / self.depth_shift
-        return np.where(d > 0, d, np.nan).astype(np.float32)
+            raw = np.frombuffer(self.frames[i].depth_bytes, np.uint16)
+            d = raw.reshape(self.depth_height, self.depth_width).astype(np.float32)
+            d = d / self.depth_shift
+            return np.where(d > 0, d, np.nan).astype(np.float32)
+        return self.decode_depth_batch([i])[0]
+
+    def decode_depth_batch(self, indices) -> np.ndarray:
+        """Batch depth decode [len(indices), H, W] through the native
+        multithreaded codec (native/sens_codec.cpp — the analog of the
+        reference's ``RGBDFrameCacheRead`` prefetch threads,
+        SensorDataReader.cpp:38-124); falls back to Python zlib."""
+        from bundlefusion_tpu.io.native import decode_depth_batch
+
+        if self.compression_depth == 0:
+            return np.stack([self.decode_depth(i) for i in indices])
+        return decode_depth_batch(
+            [self.frames[i].depth_bytes for i in indices],
+            self.depth_height,
+            self.depth_width,
+            self.depth_shift,
+        )
 
     def decode_color(self, i: int) -> np.ndarray:
         """Frame i color as float32 RGB [H, W, 3] in [0, 1]."""

@@ -1339,3 +1339,20 @@ class BundleFusion:
         if not self.complete_traj:
             return np.zeros((0, 4, 4), np.float32)
         return np.stack(self.complete_traj)
+
+    # ------------------------------------------------------------------
+    def save(self, path: str):
+        """Checkpoint the complete engine state (voxel table, keyframe and
+        correspondence stores, frame archive, trajectories, scheduler) —
+        the unified analog of the reference's piecemeal TSDF-hash /
+        SIFTImageManager / CUDACache save paths. Resume with
+        :meth:`BundleFusion.load`."""
+        from bundlefusion_tpu.io.checkpoint import save_engine
+
+        save_engine(self, path)
+
+    @staticmethod
+    def load(path: str) -> "BundleFusion":
+        from bundlefusion_tpu.io.checkpoint import load_engine
+
+        return load_engine(path)

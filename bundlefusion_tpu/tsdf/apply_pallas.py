@@ -287,12 +287,16 @@ def _apply_kernel(
                         ]  # [WIN, HP]
                         parts.append(
                             jnp.dot(
-                                win, vsel, preferred_element_type=jnp.float32
+                                win, vsel,
+                                preferred_element_type=jnp.float32,
+                                precision=jax.lax.Precision.DEFAULT,
                             ).astype(jnp.bfloat16)
                         )
                     win5 = jnp.concatenate(parts, axis=1)  # [WIN, 5*VW]
                     rows5 = jnp.dot(
-                        oh_u, win5, preferred_element_type=jnp.float32
+                        oh_u, win5,
+                        preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.DEFAULT,
                     ).astype(jnp.bfloat16)                 # [HT*V, 5*VW]
                     oh_vw = (
                         (vw_ids == (vm_c - v0)[:, :, None])
