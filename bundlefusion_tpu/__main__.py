@@ -34,6 +34,11 @@ def main(argv=None):
     ap.add_argument("--out", default=".", help="output directory")
     ap.add_argument("--max-frames", type=int, default=None)
     ap.add_argument("--small", action="store_true", help="small CPU-friendly config")
+    ap.add_argument(
+        "--dump-viz", action="store_true",
+        help="write debug visualizations (rendered depth/normals/color of the "
+        "final model view, SiftVisualization analog) into --out",
+    )
     args = ap.parse_args(argv)
 
     os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax_cc")
@@ -197,6 +202,27 @@ def main(argv=None):
         out_sens = os.path.join(args.out, f"{seq_name}.sens")
         write_trajectory(out_sens, sens_data, traj)
         print(f"trajectory written into {out_sens}")
+
+    if args.dump_viz and len(traj):
+        from bundlefusion_tpu.utils.visualization import (
+            depth_to_color,
+            normals_to_color,
+            save_image,
+        )
+
+        # render the final model from the last valid pose (the engine's
+        # per-frame splat render; raycast also available via eng.render)
+        ok_idx = [i for i in range(len(traj)) if np.isfinite(traj[i]).all()]
+        if ok_idx:
+            r = eng.last_render or eng.render(traj[ok_idx[-1]])
+            r = {k: np.asarray(v) for k, v in r.items()}
+            save_image(os.path.join(args.out, "render_depth.png"),
+                       depth_to_color(r["depth"]))
+            save_image(os.path.join(args.out, "render_normals.png"),
+                       normals_to_color(r["normals"]))
+            save_image(os.path.join(args.out, "render_color.png"),
+                       np.clip(np.nan_to_num(r["color"]) * 255, 0, 255).astype(np.uint8))
+            print(f"viz: render_{{depth,normals,color}}.png -> {args.out}")
 
     ate = None
     if gt_poses is not None and len(traj):

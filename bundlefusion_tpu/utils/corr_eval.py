@@ -85,3 +85,98 @@ class CorrespondenceEvaluator:
             w = csv.DictWriter(fh, fieldnames=list(self.rows[0].keys()))
             w.writeheader()
             w.writerows(self.rows)
+
+
+def evaluate_frontend_fidelity(
+    seq,
+    intr,
+    sift_cfg,
+    frontend_params,
+    intr_cache=None,
+    pair_stride=(1, 2, 4),
+    dist_thresh: float = 0.05,
+):
+    """Run the full filter cascade on a GT sequence and report per-stage
+    precision/recall — the ``CorrespondenceEvaluator`` methodology
+    (CorrespondenceEvaluator.h:10-50, hooks in Bundler.cpp:145-203).
+
+    Args:
+      seq: dict with "depth" [N,H,W], "color" [N,H,W,3], "poses" [N,4,4].
+      pair_stride: frame-distance set to evaluate (adjacent + skips).
+
+    Returns (evaluator, summary dict).
+    """
+    import jax.numpy as jnp
+
+    from bundlefusion_tpu.ops.filters import (
+        dense_verify_pair,
+        kabsch_filter_pair,
+        surface_area_filter_pair,
+    )
+    from bundlefusion_tpu.ops.image import resample_nearest, rgb_to_intensity
+    from bundlefusion_tpu.ops.matching import match_descriptors_pair
+    from bundlefusion_tpu.ops.sift import detect_and_describe
+    from bundlefusion_tpu.pipeline.frames import backproject_keys
+    from bundlefusion_tpu.pipeline.frames import (
+        create_dense_cache,
+        store_cache_frame,
+    )
+
+    n = len(seq["depth"])
+    ev = CorrespondenceEvaluator(seq["poses"], dist_thresh)
+    fp = frontend_params
+
+    kps = []
+    caches = []
+    for i in range(n):
+        d = jnp.asarray(np.where(np.isfinite(seq["depth"][i]), seq["depth"][i], np.nan))
+        c = jnp.asarray(seq["color"][i])
+        kps.append(detect_and_describe(rgb_to_intensity(c), d, sift_cfg))
+        if intr_cache is not None:
+            cache = create_dense_cache(1, intr_cache.height, intr_cache.width)
+            d_int = resample_nearest(d, intr_cache.height * 4, intr_cache.width * 4)
+            c_int = jnp.zeros((intr_cache.height * 4, intr_cache.width * 4, 3))
+            caches.append(
+                store_cache_frame(cache, jnp.asarray(0), d_int, c_int, intr_cache)
+            )
+
+    for di in pair_stride:
+        for j in range(di, n):
+            i = j - di
+            a, b = kps[j], kps[i]
+            m = match_descriptors_pair(
+                a.desc.astype(jnp.float32), a.valid,
+                b.desc.astype(jnp.float32), b.valid,
+                fp.sift_match_thresh, fp.sift_match_ratio, fp.num_raw_matches,
+            )
+            p_i = np.asarray(backproject_keys(a.pos[m.idx_i], a.depth[m.idx_i], intr))
+            p_j = np.asarray(backproject_keys(b.pos[m.idx_j], b.depth[m.idx_j], intr))
+            raw = np.asarray(m.valid)
+            ev.record_stage("0_raw_match", j, i, p_i, p_j, raw, raw)
+
+            kf = kabsch_filter_pair(
+                jnp.asarray(p_i), jnp.asarray(p_j),
+                a.pos[m.idx_i], b.pos[m.idx_j], m.valid,
+                fp.max_filtered, fp.min_num_matches, fp.max_kabsch_res2,
+            )
+            inl = np.asarray(kf["inlier_mask"]) & bool(np.asarray(kf["valid_pair"]))
+            ev.record_stage("1_kabsch", j, i, p_i, p_j, raw, inl)
+
+            sa_keep, _, _ = surface_area_filter_pair(
+                jnp.asarray(p_i), jnp.asarray(p_j), kf["inlier_mask"],
+                fp.surf_area_thresh,
+            )
+            inl2 = inl & bool(np.asarray(sa_keep))
+            ev.record_stage("2_surface_area", j, i, p_i, p_j, inl, inl2)
+
+            if intr_cache is not None and caches:
+                keep, _, _ = dense_verify_pair(
+                    kf["transform"],
+                    caches[j].depth[0], caches[j].campos[0], caches[j].normal[0],
+                    caches[i].depth[0], caches[i].campos[0], caches[i].normal[0],
+                    intr_cache, fp.dense,
+                )
+                inl3 = inl2 & bool(np.asarray(keep))
+                ev.record_stage("3_dense_verify", j, i, p_i, p_j, inl2, inl3)
+
+    return ev, ev.summary()
