@@ -163,3 +163,60 @@ def depth_to_cam_points(depth, intr: CameraIntrinsics):
     """Alias of geometry.camera.unproject for parity with
     ``convertDepthFloatToCameraSpaceFloat4``."""
     return unproject(depth, intr)
+
+
+def reproject_depth_to_color(
+    depth,
+    intr_depth: CameraIntrinsics,
+    intr_color: CameraIntrinsics,
+    depth_to_color,
+    fill_passes: int = 1,
+):
+    """Re-render a depth map into the color camera's frame
+    (``CUDAImageCalibrator`` analog — the reference rasterizes the depth
+    point cloud through DX11 when ``s_bUseCameraCalibration`` is on).
+
+    TPU design: unproject depth-camera pixels, transform by the
+    depth-to-color extrinsics, z-buffer into the color image with one
+    packed scatter-min (depth-quantized key | source index), then fill
+    sub-pixel holes with 3x3 valid-neighbor passes.
+
+    Args:
+      depth: [Hd, Wd] float32 meters (nan invalid).
+      depth_to_color: [4, 4] transform from depth-camera to color-camera
+        coordinates (extrinsic_color^-1 @ extrinsic_depth).
+
+    Returns [Hc, Wc] float32 depth in the color camera (nan = no sample).
+    """
+    Hc, Wc = intr_color.height, intr_color.width
+    pts = unproject(depth, intr_depth)                      # [Hd, Wd, 3]
+    fin = jnp.isfinite(pts).all(-1)
+    p = jnp.where(fin[..., None], pts, 0.0).reshape(-1, 3)
+    q = p @ depth_to_color[:3, :3].T + depth_to_color[:3, 3]
+    z = q[:, 2]
+    ok = fin.reshape(-1) & (z > 1e-3)
+    zs = jnp.maximum(z, 1e-6)
+    u = jnp.round(q[:, 0] / zs * intr_color.fx + intr_color.cx).astype(jnp.int32)
+    v = jnp.round(q[:, 1] / zs * intr_color.fy + intr_color.cy).astype(jnp.int32)
+    ok = ok & (u >= 0) & (u < Wc) & (v >= 0) & (v < Hc)
+    pix = jnp.where(ok, v * Wc + u, Hc * Wc)
+    M = p.shape[0]
+    zq = jnp.clip((z * 1000.0).astype(jnp.int32), 0, (1 << 12) - 1)
+    idx = jnp.arange(M, dtype=jnp.int32)
+    packed = jnp.where(ok, (zq << 19) | (idx & ((1 << 19) - 1)), jnp.int32(2**31 - 1))
+    zbuf = jnp.full((Hc * Wc + 1,), 2**31 - 1, jnp.int32)
+    zbuf = zbuf.at[pix].min(packed, mode="drop")[: Hc * Wc]
+    hit = zbuf != 2**31 - 1
+    winner = jnp.clip(zbuf & ((1 << 19) - 1), 0, M - 1)
+    out = jnp.where(hit, z[winner], jnp.nan).reshape(Hc, Wc)
+
+    for _ in range(fill_passes):
+        best = jnp.full((Hc, Wc), jnp.inf, jnp.float32)
+        for dy in (-1, 0, 1):
+            for dx in (-1, 0, 1):
+                if dy == 0 and dx == 0:
+                    continue
+                dn = jnp.roll(jnp.roll(out, dy, 0), dx, 1)
+                best = jnp.where(jnp.isfinite(dn) & (dn < best), dn, best)
+        out = jnp.where(~jnp.isfinite(out) & jnp.isfinite(best), best, out)
+    return out

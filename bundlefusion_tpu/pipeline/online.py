@@ -181,7 +181,16 @@ class BundleFusion:
         bundling: BundlingConfig = BundlingConfig(),
         sift_cfg: Optional[SiftConfig] = None,
         max_keyframes: Optional[int] = None,
+        mesh=None,
     ):
+        """``mesh``: optional ``jax.sharding.Mesh``; with >1 device the
+        GLOBAL problem shards across it — keyframe stores/caches along the
+        keyframe axis (global matching = keyframe-sharded MXU matmuls) and
+        the correspondence store along the corr axis (pair-system reduction
+        sharded, psum-combined by GSPMD). The local submap + TSDF state stay
+        per-device, mirroring the reference's recon/bundling GPU split
+        scaled out (SURVEY.md §2.8 north star)."""
+        self.mesh = mesh
         self.app = app
         self.bundling = bundling
         self.intr_input = intr_input
@@ -274,6 +283,8 @@ class BundleFusion:
             local_traj=jnp.zeros((self.G, self.S, 4, 4), jnp.float32),
             local_valid=jnp.zeros((self.G, self.S), bool),
         )
+        if mesh is not None and mesh.devices.size > 1:
+            self.glob = self._shard_global(self.glob)
         self.keyframe_valid = np.zeros(self.G, bool)
         self.num_keyframes = 0
 
@@ -328,6 +339,32 @@ class BundleFusion:
         if r is None:
             r = self._dev_i32[v] = jnp.asarray(v, jnp.int32)
         return r
+
+    # ------------------------------------------------------------------
+    def _shard_global(self, glob: GlobalState) -> GlobalState:
+        """Place the global state sharded over the mesh: keyframe-major
+        arrays along the keyframe axis, the corr store along the corr axis,
+        poses replicated (they are the psum-reduced camera system)."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        ax = self.mesh.axis_names[0]
+        g_sh = NamedSharding(self.mesh, P(ax))
+        rep = NamedSharding(self.mesh, P())
+
+        def put_g(x):
+            return jax.device_put(x, g_sh if x.ndim >= 1 else rep)
+
+        def put_c(x):
+            return jax.device_put(x, g_sh if x.ndim >= 1 else rep)
+
+        return GlobalState(
+            keys=jax.tree.map(put_g, glob.keys),
+            cache=jax.tree.map(put_g, glob.cache),
+            corrs=jax.tree.map(put_c, glob.corrs),
+            poses=jax.device_put(glob.poses, rep),
+            local_traj=jax.device_put(glob.local_traj, g_sh),
+            local_valid=jax.device_put(glob.local_valid, g_sh),
+        )
 
     # ------------------------------------------------------------------
     def _fresh_local(self) -> LocalState:
