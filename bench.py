@@ -132,6 +132,8 @@ def main():
         "ms_per_frame": round(1000.0 * elapsed / timed, 2),
         "compile_s": round(compile_s, 1),
         "stage_ms": stage_ms,
+        # silent-cap accounting: must stay 0 for an exact global solve
+        "pairs_dropped": eng.pairs_dropped_total,
     }
     print(json.dumps(out))
 

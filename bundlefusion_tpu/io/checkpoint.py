@@ -95,6 +95,8 @@ def save_engine(eng, path: str):
         "retry_attempts": {str(k): v for k, v in eng.retry_attempts.items()},
         "lost_count": eng.lost_count,
         "render_every": eng.render_every,
+        "window_base": eng._window_base,
+        "anchor_slot": eng._anchor_slot,
     }
     arrays["meta_json"] = np.frombuffer(
         json.dumps(meta).encode("utf-8"), dtype=np.uint8
@@ -103,8 +105,16 @@ def save_engine(eng, path: str):
         np.savez(fh, **arrays)
 
 
-def load_engine(path: str):
-    """Reconstruct a BundleFusion engine from a checkpoint."""
+def load_engine(path: str, mesh=None):
+    """Reconstruct a BundleFusion engine from a checkpoint.
+
+    Args:
+      mesh: optional ``jax.sharding.Mesh`` — a checkpoint saved from a
+        mesh-sharded engine records no device topology, so sharding must be
+        re-requested at load; pass the mesh to restore the global state
+        sharded (``_shard_global`` re-applies the keyframe/corr-axis
+        placement). Without it, state loads replicated on one device.
+    """
     from bundlefusion_tpu.config import AppConfig, BundlingConfig
     from bundlefusion_tpu.geometry.camera import CameraIntrinsics
     from bundlefusion_tpu.ops.sift import SiftConfig
@@ -121,7 +131,8 @@ def load_engine(path: str):
     sift = SiftConfig(**meta["sift"])
     intr = CameraIntrinsics(**meta["intr"])
     eng = BundleFusion(
-        intr, app, bundling, sift_cfg=sift, max_keyframes=meta["max_keyframes"]
+        intr, app, bundling, sift_cfg=sift,
+        max_keyframes=meta["max_keyframes"], mesh=mesh,
     )
 
     tags = meta["tags"]
@@ -134,6 +145,8 @@ def load_engine(path: str):
             for i in range(n_leaves)
         ]
         setattr(eng, name, jax.tree.unflatten(treedef, leaves))
+    if mesh is not None and mesh.devices.size > 1:
+        eng.glob = eng._shard_global(eng.glob)
 
     eng.submap_base = jnp.asarray(data["submap_base"])
     eng.keyframe_valid = data["keyframe_valid"].copy()
@@ -147,6 +160,9 @@ def load_engine(path: str):
     eng.retry_attempts = {int(k): v for k, v in meta["retry_attempts"].items()}
     eng.lost_count = meta["lost_count"]
     eng.render_every = meta["render_every"]
+    eng._window_base = meta.get("window_base", 0)
+    eng._anchor_slot = meta.get("anchor_slot", 0)
+    eng.kf_valid_dev = jnp.asarray(eng.keyframe_valid)
 
     recs = []
     for i in range(len(data["tm_states"])):

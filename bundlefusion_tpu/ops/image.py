@@ -201,9 +201,16 @@ def reproject_depth_to_color(
     ok = ok & (u >= 0) & (u < Wc) & (v >= 0) & (v < Hc)
     pix = jnp.where(ok, v * Wc + u, Hc * Wc)
     M = p.shape[0]
-    zq = jnp.clip((z * 1000.0).astype(jnp.int32), 0, (1 << 12) - 1)
+    # 19 index bits must cover every depth pixel (else winners alias)
+    assert M <= 1 << 19, f"depth map too large for packed z-buffer: {M}"
+    # quantize z into 12 bits scaled to the live depth range so ordering
+    # holds for any scene depth (a fixed 1 mm step saturated at 4.095 m,
+    # randomizing far-sample occlusion); cap at 4094 so the packed word
+    # never collides with the 2^31-1 miss sentinel
+    zmax = jnp.maximum(jnp.max(jnp.where(ok, z, 0.0)), 1e-3)
+    zq = jnp.clip((z / zmax * 4094.0).astype(jnp.int32), 0, 4094)
     idx = jnp.arange(M, dtype=jnp.int32)
-    packed = jnp.where(ok, (zq << 19) | (idx & ((1 << 19) - 1)), jnp.int32(2**31 - 1))
+    packed = jnp.where(ok, (zq << 19) | idx, jnp.int32(2**31 - 1))
     zbuf = jnp.full((Hc * Wc + 1,), 2**31 - 1, jnp.int32)
     zbuf = zbuf.at[pix].min(packed, mode="drop")[: Hc * Wc]
     hit = zbuf != 2**31 - 1

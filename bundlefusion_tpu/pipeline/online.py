@@ -286,6 +286,11 @@ class BundleFusion:
         if mesh is not None and mesh.devices.size > 1:
             self.glob = self._shard_global(self.glob)
         self.keyframe_valid = np.zeros(self.G, bool)
+        # device twin of keyframe_valid: feeds the next submap dispatch so
+        # the boundary never blocks on the previous submap's host readback
+        # (the host copy is only consumed by the retry/bookkeeping logic,
+        # which tolerates a one-submap lag)
+        self.kf_valid_dev = jnp.zeros((self.G,), bool)
         self.num_keyframes = 0
 
         # device-resident frame archive for re-integration (no host copy)
@@ -300,7 +305,7 @@ class BundleFusion:
         self._off_lv = self.S * 16
         self._off_kf = self.S * 17
         self._off_flags = self.S * 17 + self.G
-        self._off_comp = self._off_flags + 2
+        self._off_comp = self._off_flags + 3
         self._off_ok = self._off_comp + NF * 16
 
         self.frame_idx = 0
@@ -310,7 +315,12 @@ class BundleFusion:
         self._recorded_upto = 0                    # host bookkeeping high-water mark
         # device-resident current-submap anchor pose (never round-trips)
         self.submap_base = jnp.eye(4, dtype=jnp.float32)
-        self._pending_submap: Optional[tuple] = None
+        self._pending_submaps: List[tuple] = []  # FIFO of (g, pack_dev)
+        # frame index of the current window's anchor + the buffer slot it
+        # lives in (0 after a rollover; sub_len past keyframe capacity,
+        # where boundaries stop rolling the buffer over)
+        self._window_base = 0
+        self._anchor_slot = 0
 
         self.traj_manager = TrajectoryManager(app.top_n_active, app.min_pose_dist_sqrt)
         # relocalization retry list (reference SIFTImageManager retry list +
@@ -320,6 +330,10 @@ class BundleFusion:
         self.max_retry_attempts = 10
         self.timing = TimingLog()
         self.lost_count = 0
+        # pair-cap overflow accounting (write-only in round 2 — now
+        # surfaced per retire and reported by the bench)
+        self.pairs_dropped_total = 0
+        self.pairs_dropped_max = 0
         # per-frame raycast cadence (reference: every frame); 0 disables
         self.render_every = 1 if app.reconstruction_enabled else 0
         self.last_render = None
@@ -573,9 +587,9 @@ class BundleFusion:
             Returns (fresh_local, glob', kf_valid', overlap_world, pack)
             where ``pack`` is the flat float32 host-readback buffer
             [chained world S*16 | frame valid S | kf_valid G | submap_ok,
-            matched | composed trajectory G*sub_len*16 | composed valid
-            G*sub_len] — everything the host scheduler consumes, fetched in
-            ONE transfer per submap."""
+            matched, pairs_dropped | composed trajectory G*sub_len*16 |
+            composed valid G*sub_len] — everything the host scheduler
+            consumes, fetched in ONE transfer per submap."""
             init = matrix_to_pose(local.rel)
             lv = local.valid
             if bundling.use_local_dense:
@@ -647,6 +661,7 @@ class BundleFusion:
                 kv = kf_valid & (jnp.arange(G) <= g)
                 prev_poses = glob.poses  # trajectory before this solve
                 sposes, stats = solve_sparse(glob.poses, kv, corrs, global_solver)
+                dropped = stats.num_pairs_dropped
 
                 # ---- residual pruning, multiple rounds per solve ----
                 # (SBA::removeMaxResidualCUDA, SBA.cpp:169-204; the reference
@@ -708,13 +723,16 @@ class BundleFusion:
                     ks = jnp.arange(G)
                     keep = (counts > 0) | (ks == 0) | (ks > g)
                     kf_valid = kf_valid & keep
-                return glob._replace(corrs=corrs, poses=sposes), kf_valid, matched
+                return (
+                    glob._replace(corrs=corrs, poses=sposes), kf_valid, matched,
+                    dropped,
+                )
 
             def no_global(op):
                 glob, kf_valid = op
-                return glob, kf_valid, jnp.asarray(True)
+                return glob, kf_valid, jnp.asarray(True), jnp.asarray(0, jnp.int32)
 
-            glob, kf_valid, matched = jax.lax.cond(
+            glob, kf_valid, matched, pairs_dropped = jax.lax.cond(
                 g > 0, global_branch, no_global, (glob, kf_valid)
             )
 
@@ -745,7 +763,8 @@ class BundleFusion:
                 lv.astype(jnp.float32),
                 kf_valid.astype(jnp.float32),
                 jnp.stack([
-                    submap_ok.astype(jnp.float32), matched.astype(jnp.float32)
+                    submap_ok.astype(jnp.float32), matched.astype(jnp.float32),
+                    pairs_dropped.astype(jnp.float32),
                 ]),
                 comp.reshape(-1),
                 comp_ok.astype(jnp.float32),
@@ -930,11 +949,17 @@ class BundleFusion:
         is_boundary = f > 0 and slot == 0
         cur_slot = sub_len if is_boundary else slot  # position in current buffer
 
-        # retire the submap dispatched at the previous boundary: forced at a
-        # boundary (its keyframe state feeds the next dispatch), otherwise
-        # only if the async readback already landed
+        # retire any submaps whose async readback already landed; the
+        # boundary dispatch itself never blocks on them — its keyframe
+        # validity comes from the device-resident ``kf_valid_dev`` twin
         with self.timing.stage("time_solve", ft):
-            self._retire_submap(force=is_boundary)
+            self._retire_submap(force=False)
+            if is_boundary and self.num_keyframes >= self.G:
+                # past keyframe capacity: no rollover will happen, and this
+                # frame's frame_step will overwrite the anchor slot — record
+                # the finishing window's chained poses first
+                self._retire_submap(force=True)
+                self._record_window_tail(f)
 
         with self.timing.stage("time_frame_step", ft):
             if color is None:
@@ -972,7 +997,9 @@ class BundleFusion:
         # only; results retired on a later frame) ----
         if is_boundary:
             with self.timing.stage("time_submap_step", ft):
-                self._dispatch_submap(T_world_dev)
+                dispatched = self._dispatch_submap(T_world_dev)
+            self._window_base = f
+            self._anchor_slot = 0 if dispatched else sub_len
 
         self.frame_idx += 1
         return {"pose": T_world_dev, "valid": valid_dev}
@@ -1003,25 +1030,38 @@ class BundleFusion:
         """Retire everything in flight (end of stream / before evaluation)."""
         self._retire_submap(force=True)
         if self._recorded_upto < self.frame_idx:
-            # trailing frames of the current (partial) submap
-            S = self.S
-            tail = np.asarray(self._pack_tail(self.local, self.submap_base))
-            world = tail[: S * 16].reshape(S, 4, 4)
-            lv = tail[S * 16:] > 0.5
-            base = self.num_keyframes * (S - 1)
-            for f in range(self._recorded_upto, self.frame_idx):
-                s = f - base
-                self._record_frame(f, world[s], bool(lv[s]))
-            self._recorded_upto = self.frame_idx
+            # trailing frames of the current (partial) window
+            self._record_window_tail(self.frame_idx)
 
     # ------------------------------------------------------------------
-    def _dispatch_submap(self, last_world_dev):
+    def _record_window_tail(self, end_frame: int):
+        """Record frames [recorded_upto, end_frame) from the live local
+        buffer (one small transfer). Handles both the normal trailing
+        partial submap and the past-capacity windows where boundaries stop
+        rolling the buffer over (the anchor then sits at slot ``sub_len``,
+        not slot 0)."""
+        if self._recorded_upto >= end_frame:
+            return
+        S = self.S
+        sub_len = S - 1
+        tail = np.asarray(self._pack_tail(self.local, self.submap_base))
+        world = tail[: S * 16].reshape(S, 4, 4)
+        lv = tail[S * 16:] > 0.5
+        base = self._window_base
+        for f in range(self._recorded_upto, end_frame):
+            s = self._anchor_slot if f == base else f - base
+            assert 0 <= s <= sub_len, (f, base, self._anchor_slot)
+            self._record_frame(f, world[s], bool(lv[s]))
+        self._recorded_upto = end_frame
+
+    # ------------------------------------------------------------------
+    def _dispatch_submap(self, last_world_dev) -> bool:
         """Dispatch local solve -> keyframe fusion -> global match -> global
         solve -> rollover (``OnlineBundler::process``); results retired on a
-        later frame."""
+        later frame. Returns False once keyframe capacity is reached."""
         g = self.num_keyframes  # submap index == keyframe index
         if g >= self.G:
-            return  # keyframe capacity reached (reference caps s_maxNumImages)
+            return False  # capacity reached (reference caps s_maxNumImages)
 
         # relocalization attempt BEFORE the solve so revalidated corrs join
         # this submap's global solve (tryRevalidation, Bundler.cpp:306-352)
@@ -1030,13 +1070,13 @@ class BundleFusion:
         (
             self.local,
             self.glob,
-            _kf_valid_dev,
+            self.kf_valid_dev,
             overlap_world_dev,
             pack_dev,
         ) = self._submap_step(
             self.local,
             self.glob,
-            jnp.asarray(self.keyframe_valid),
+            self.kf_valid_dev,
             self._i32(g),
             self.submap_base,
             last_world_dev,
@@ -1046,19 +1086,23 @@ class BundleFusion:
         # stays on device, no round-trip
         self.submap_base = overlap_world_dev
         self.num_keyframes += 1
-        self._pending_submap = (g, pack_dev)
+        self._pending_submaps.append((g, pack_dev))
+        return True
 
     # ------------------------------------------------------------------
     def _retire_submap(self, force: bool = True):
-        """Consume the packed readback of a dispatched submap: per-frame
-        host bookkeeping, keyframe validity, lost-keyframe retry queue, and
-        the optimized complete trajectory — all from ONE flat transfer."""
-        if self._pending_submap is None:
-            return
-        g, pack_dev = self._pending_submap
-        if not force and not pack_dev.is_ready():
-            return
-        self._pending_submap = None
+        """Consume the packed readbacks of dispatched submaps (in order):
+        per-frame host bookkeeping, keyframe validity, lost-keyframe retry
+        queue, and the optimized complete trajectory — one flat transfer
+        each. Without ``force``, stops at the first pack still in flight."""
+        while self._pending_submaps:
+            if not force and not self._pending_submaps[0][1].is_ready():
+                return
+            g, pack_dev = self._pending_submaps.pop(0)
+            self._retire_one(g, pack_dev)
+
+    # ------------------------------------------------------------------
+    def _retire_one(self, g: int, pack_dev):
         pack = np.asarray(pack_dev)
         S = self.S
         sub_len = S - 1
@@ -1068,6 +1112,13 @@ class BundleFusion:
         prev_kf_valid = self.keyframe_valid
         self.keyframe_valid = pack[self._off_kf : self._off_flags] > 0.5
         matched = pack[self._off_flags + 1] > 0.5
+        # silent-cap accounting: pairs beyond solver_max_pairs were dropped
+        # from this global solve (the reference silently truncates too,
+        # SolverBundling.cu:1242-1245 — here it is surfaced)
+        dropped = int(pack[self._off_flags + 2])
+        if dropped > 0:
+            self.pairs_dropped_total += dropped
+            self.pairs_dropped_max = max(self.pairs_dropped_max, dropped)
         # keyframes that LOST validity during this solve (residual pruning +
         # comprehensive frame invalidation) queue for relocalization retries,
         # exactly like freshly-lost keyframes (SIFTImageManager retry list)
@@ -1140,6 +1191,7 @@ class BundleFusion:
                 )
             )
             self.keyframe_valid[k] = True
+            self.kf_valid_dev = self.kf_valid_dev.at[k].set(True)
         else:
             gk = self.glob.keys
             self.glob = self.glob._replace(
@@ -1389,7 +1441,7 @@ class BundleFusion:
         save_engine(self, path)
 
     @staticmethod
-    def load(path: str) -> "BundleFusion":
+    def load(path: str, mesh=None) -> "BundleFusion":
         from bundlefusion_tpu.io.checkpoint import load_engine
 
-        return load_engine(path)
+        return load_engine(path, mesh=mesh)

@@ -132,6 +132,8 @@ class SortedCorrs(NamedTuple):
     p_i: jax.Array       # [C, 3]
     p_j: jax.Array       # [C, 3]
     valid: jax.Array     # [C] bool
+    seg_id: jax.Array    # [C] pair/segment index of each sorted corr
+                         #     (== max_pairs for invalid or dropped corrs)
     starts: jax.Array    # [P] segment start index into the sorted arrays
     ends: jax.Array      # [P] segment end index (inclusive)
     pair_i: jax.Array    # [P] pose index i of the pair
@@ -158,6 +160,9 @@ def sort_corrs_by_pair(corrs: CorrStore, num_frames: int, max_pairs: int) -> Sor
     starts = jnp.nonzero(is_start, size=max_pairs, fill_value=C - 1)[0]
     ends = jnp.nonzero(is_end, size=max_pairs, fill_value=C - 1)[0]
     pair_valid = jnp.arange(max_pairs) < n_seg
+    # per-corr segment id (sorted, monotone); invalid / beyond-cap -> cap
+    seg_id = jnp.cumsum(is_start.astype(jnp.int32)) - 1
+    seg_id = jnp.where(v_s & (seg_id < max_pairs), seg_id, max_pairs)
     img_i_s = corrs.img_i[order]
     img_j_s = corrs.img_j[order]
     return SortedCorrs(
@@ -166,6 +171,7 @@ def sort_corrs_by_pair(corrs: CorrStore, num_frames: int, max_pairs: int) -> Sor
         p_i=corrs.p_i[order],
         p_j=corrs.p_j[order],
         valid=v_s,
+        seg_id=seg_id,
         starts=starts,
         ends=ends,
         pair_i=jnp.where(pair_valid, img_i_s[starts], 0),
@@ -177,8 +183,11 @@ def sort_corrs_by_pair(corrs: CorrStore, num_frames: int, max_pairs: int) -> Sor
 
 def build_sparse_pair_system(poses, sc: SortedCorrs, w_sqrt):
     """Per-GN-iteration reduction: exact per-corr Jacobians -> per-pair
-    H [P, 12, 12] / b [P, 12] via one cumulative sum over the sorted runs
-    + row-gathers at the segment boundaries. Returns (H, b, cost)."""
+    H [P, 12, 12] / b [P, 12] via a sorted segment-sum over the runs
+    (``segment_sum`` with monotone ids — no global f32 prefix-sum
+    differencing, so late segments keep full precision at high corr
+    counts). Returns (H, b)."""
+    P_cap = sc.pair_valid.shape[0]
     vf = sc.valid.astype(jnp.float32)[:, None] * w_sqrt
     pi = _gather_poses(poses, sc.img_i)
     pj = _gather_poses(poses, sc.img_j)
@@ -190,9 +199,9 @@ def build_sparse_pair_system(poses, sc: SortedCorrs, w_sqrt):
     Hc = jnp.einsum("cri,crj->cij", J, J)                 # [C, 12, 12]
     bc = jnp.einsum("cri,cr->ci", J, r)                   # [C, 12]
     contrib = jnp.concatenate([Hc.reshape(-1, 144), bc], axis=-1)  # [C, 156]
-    csum = jnp.cumsum(contrib, axis=0)
-    csum_ex = jnp.concatenate([jnp.zeros((1, 156)), csum[:-1]], axis=0)
-    seg = csum[sc.ends] - csum_ex[sc.starts]              # [P, 156] row gathers
+    seg = jax.ops.segment_sum(
+        contrib, sc.seg_id, num_segments=P_cap + 1, indices_are_sorted=True
+    )[:P_cap]                                             # [P, 156]
     seg = jnp.where(sc.pair_valid[:, None], seg, 0.0)
     H = seg[:, :144].reshape(-1, 12, 12)
     b = seg[:, 144:156]

@@ -12,12 +12,16 @@ re-integration frame dispatches up to 11 such ops (reintegrate budget,
 
 Design (one kernel invocation applies ALL of a frame's TSDF ops):
 
-- **slot-major linear sweep**: payload rows are processed ``[0,
-  high_water)`` in TILE-row contiguous chunks via manually
-  double-buffered DMA (HBM->VMEM->HBM), so memory traffic is sequential
-  at HBM bandwidth and scales with *occupancy*, not capacity. Block
+- **slot-major frustum-compacted sweep**: payload rows are processed in
+  TILE-row contiguous chunks via manually double-buffered DMA
+  (HBM->VMEM->HBM) — but only the tiles holding a live block inside some
+  op's view frustum (``active_tile_indices``), so memory traffic is
+  sequential at HBM bandwidth and scales with the *visible surface*, not
+  occupancy (the round-2 sweep walked all of ``[0, high_water)``:
+  ~10 KB/block of DMA for every live block every frame). Block
   coordinates come from the table's slot-major inverse map
-  (``slot_keys``); dead rows (EMPTY) pass through untouched.
+  (``slot_keys``); dead rows inside an active tile pass through
+  untouched.
 - **in-place**: the payload arrays are passed in ``ANY`` (HBM) memory
   space and aliased to the outputs — no XLA workspace, no table copy.
 - **multi-op**: each op is (pose, sign, image index). A re-integration
@@ -80,7 +84,11 @@ VW = 128                          # v-window columns (HP is always >= 128);
 
 def _apply_kernel(
     # SMEM inputs
-    nt_ref,       # (1, 1) int32: number of TILE chunks to sweep
+    nt_ref,       # (1, 1) int32: number of ACTIVE tiles to sweep
+    tidx_ref,     # (NT, 1) int32: tile index per sweep step (frustum-
+                  # compacted: only tiles holding a live block inside some
+                  # op's frustum are visited; everything else is provably
+                  # untouched by the update rule and skipped entirely)
     meta_ref,     # (OPS, 16) f32: R row-major (9) | t (3) | sign | img | 0 | 0
     # VMEM inputs
     img5_ref,     # (IMGS*5*W, HP) bf16: per image d_hi | d_lo | r | g | b
@@ -142,7 +150,7 @@ def _apply_kernel(
     vw_ids_row = jax.lax.broadcasted_iota(jnp.int32, (HP, VW), 1)
 
     def in_dmas(t, slot):
-        off = pl.multiple_of(t * TILE, TILE)
+        off = pl.multiple_of(tidx_ref[t, 0] * TILE, TILE)
         return [
             pltpu.make_async_copy(
                 sdf_any.at[pl.ds(off, TILE), :], in_sdf.at[slot], in_sems.at[slot, 0]
@@ -159,7 +167,7 @@ def _apply_kernel(
         ]
 
     def out_dmas(t, slot):
-        off = pl.multiple_of(t * TILE, TILE)
+        off = pl.multiple_of(tidx_ref[t, 0] * TILE, TILE)
         return [
             pltpu.make_async_copy(
                 out_sdf.at[slot], sdf_out_any.at[pl.ds(off, TILE), :], out_sems.at[slot, 0]
@@ -420,6 +428,63 @@ def _apply_kernel(
             d.wait()
 
 
+def active_tile_indices(table, w2c, signs, intr, params, H, W):
+    """Frustum-compacted sweep schedule: indices of payload TILEs holding at
+    least one live block that could be touched by ANY of the ops.
+
+    A voxel update requires its projection in-bounds with pz > 0 and
+    camera-space depth within the truncation band of the sampled depth
+    (``upd = inb & depth_ok & (sd > -trunc)`` in the kernel). A block whose
+    8 corners all project outside the image (or all behind the camera, or
+    all beyond depth_max + truncation) can contain no such voxel: for a
+    convex box fully in front of the camera, the projection of every
+    interior point lies in the convex hull of the projected corners.
+    Blocks straddling the camera plane are kept conservatively.
+
+    Returns (tile_idx [NT, 1] int32, n_active [] int32).
+    """
+    N = table.num_blocks
+    NT = N // TILE
+    bs = BLOCK_SIZE * params.voxel_size
+    geo = table.slot_geo[:N]
+    live = geo[:, 3] > 0.5
+    corner = geo[:, :3] * bs                                # [N, 3]
+    offs = jnp.asarray(
+        [[i, j, k] for i in (0, 1) for j in (0, 1) for k in (0, 1)],
+        jnp.float32,
+    ) * bs                                                  # [8, 3]
+    pts = corner[:, None, :] + offs[None]                   # [N, 8, 3]
+    dmax = min(params.depth_max, params.max_integration_distance)
+    zmax = dmax + params.truncation + params.truncation_scale * dmax
+
+    OPS = w2c.shape[0]
+    any_op = jnp.zeros((N,), bool)
+    for o in range(OPS):
+        R, t = w2c[o, :3, :3], w2c[o, :3, 3]
+        pc = pts @ R.T + t                                  # [N, 8, 3]
+        z = pc[..., 2]
+        all_front = jnp.all(z > 1e-3, axis=1)
+        zs = jnp.maximum(z, 1e-3)
+        u = pc[..., 0] / zs * intr.fx + intr.cx
+        v = pc[..., 1] / zs * intr.fy + intr.cy
+        inside = (
+            (jnp.max(u, 1) >= 0.0) & (jnp.min(u, 1) <= W - 1)
+            & (jnp.max(v, 1) >= 0.0) & (jnp.min(v, 1) <= H - 1)
+            & (jnp.min(z, 1) <= zmax)
+        )
+        straddle = jnp.any(z > 0.0, axis=1) & ~all_front    # conservative
+        any_op = any_op | ((jnp.where(all_front, inside, straddle)) & (signs[o] != 0.0))
+
+    mask = live & any_op
+    nt_cap = (table.high_water + TILE - 1) // TILE
+    tile_any = jnp.any(mask.reshape(NT, TILE), axis=1) & (
+        jnp.arange(NT) < nt_cap
+    )
+    idx = jnp.nonzero(tile_any, size=NT, fill_value=0)[0].astype(jnp.int32)
+    nt = jnp.sum(tile_any.astype(jnp.int32))
+    return idx.reshape(NT, 1), nt
+
+
 def pack_img5(depth, color):
     """One frame -> the kernel's transposed 5-channel sample image
     [5, W, HP] bf16 (d_hi | d_lo | r | g | b). Non-finite pixels zero.
@@ -487,9 +552,8 @@ def apply_tsdf_ops(
         axis=1,
     )  # [OPS, 16]
 
-    nt = jnp.reshape(
-        jnp.minimum((table.high_water + TILE - 1) // TILE, N // TILE), (1, 1)
-    ).astype(jnp.int32)
+    tidx, n_active = active_tile_indices(table, w2c, signs, intr, params, H, W)
+    nt = jnp.reshape(n_active, (1, 1)).astype(jnp.int32)
 
 
     kernel = partial(
@@ -515,6 +579,7 @@ def apply_tsdf_ops(
         kernel,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),   # nt
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # tidx
             pl.BlockSpec(memory_space=pltpu.SMEM),   # meta
             pl.BlockSpec(memory_space=pltpu.VMEM),   # img5
             pl.BlockSpec(memory_space=pl.ANY),       # slot_geo
@@ -532,8 +597,8 @@ def apply_tsdf_ops(
             jax.ShapeDtypeStruct(table.weight.shape, jnp.float32),
             jax.ShapeDtypeStruct(table.color.shape, jnp.float32),
         ],
-        # inputs: nt(0) meta(1) keys(2) img5(3) sdf(4) w(5) c(6)
-        input_output_aliases={4: 0, 5: 1, 6: 2},
+        # inputs: nt(0) tidx(1) meta(2) img5(3) geo(4) sdf(5) w(6) c(7)
+        input_output_aliases={5: 0, 6: 1, 7: 2},
         scratch_shapes=[
             pltpu.VMEM((2, TILE, V), jnp.float32),
             pltpu.VMEM((2, TILE, V), jnp.float32),
@@ -554,7 +619,7 @@ def apply_tsdf_ops(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(nt, meta, img5, table.slot_geo, table.sdf, table.weight, table.color)
+    )(nt, tidx, meta, img5, table.slot_geo, table.sdf, table.weight, table.color)
     return table._replace(sdf=sdf, weight=weight, color=color)
 
 

@@ -198,8 +198,14 @@ def splat_render(
     pix = jnp.where(ok, vv * W + uu, H * W)                 # overflow row
 
     M = Vcap * 64
-    # pack: z quantized to 1 mm (12 bits covers 4 m) << 19 | sample idx
-    zq = jnp.clip((zc * 1000.0).astype(jnp.int32), 0, (1 << 12) - 1)
+    # 19 index bits must cover every (block, crossing) sample
+    assert M <= 1 << 19, f"visible_cap too large for packed z-buffer: {M}"
+    # pack: z quantized into 12 bits scaled to [0, depth_max] (not a fixed
+    # 1 mm step, which silently breaks near/far ordering past 4.095 m);
+    # cap 4094 keeps the packed word below the 2^31-1 miss sentinel
+    zq = jnp.clip(
+        (zc * (4094.0 / params.depth_max)).astype(jnp.int32), 0, 4094
+    )
     sidx = jnp.arange(M, dtype=jnp.int32).reshape(Vcap, 64)
     packed = jnp.where(ok, (zq << 19) | sidx, jnp.int32(2**31 - 1))
     zbuf = jnp.full((H * W + 1,), 2**31 - 1, jnp.int32)

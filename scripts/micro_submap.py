@@ -26,7 +26,12 @@ bundling = BundlingConfig(max_global_corr=16384)
 sift_cfg = SiftConfig(target_keys=150, min_scale=bundling.min_key_scale,
                       depth_min=app.sensor_depth_min, depth_max=app.sensor_depth_max)
 seq = make_sequence(n_frames, intr=intr)
+t0 = time.perf_counter()
 eng = BundleFusion(intr, app, bundling, sift_cfg=sift_cfg, max_keyframes=64)
+print(f"engine build: {time.perf_counter()-t0:.1f}s")
+t0 = time.perf_counter()
+cs = eng.warmup()
+print(f"warmup/compile: {cs:.1f}s")
 for i in range(n_frames):
     eng.process_frame(seq["depth"][i], seq["color"][i])
 jax.block_until_ready((eng.local, eng.glob, eng.table))
@@ -63,10 +68,6 @@ timeit("local match_and_filter (S=11)", lambda: mfj(
     jnp.asarray(eng.S-1, jnp.int32), local.keys, local.cache, eng.intr_sift, eng.intr_cache, eng.frontend_local))
 timeit("global solve_sparse (3GNx150)", lambda: solve_sparse(
     glob.poses, kv, glob.corrs, eng.global_solver))
-fkj = jax.jit(fuse_keyframe, static_argnames=("intr_sift", "max_out_keys", "grid_px"))
-timeit("fuse_keyframe", lambda: fkj(
-    local.keys, jnp.broadcast_to(jnp.eye(4, dtype=jnp.float32), (eng.S,4,4)), 0,
-    intr_sift=eng.intr_sift, max_out_keys=glob.keys.keys_per_frame))
 
 # full submap_step
 timeit("FULL submap_step", lambda: eng._submap_step(
@@ -84,9 +85,14 @@ timeit("tsdf_fast (alloc+kernel, OPS=1)", lambda: eng._tsdf_fast(
     jax.tree.map(jnp.copy, eng.table), eng.store, jnp.asarray(40, jnp.int32),
     jnp.asarray(np.eye(4, dtype=np.float32)), jnp.asarray(True)), n=5)
 
-eyeb = jnp.broadcast_to(jnp.eye(4, dtype=jnp.float32), (5, 4, 4))
+packed = np.zeros((5, 34), np.float32)
+packed[:, 2:18] = np.eye(4, dtype=np.float32).reshape(-1)
+packed[:, 18:34] = np.eye(4, dtype=np.float32).reshape(-1)
+packed[:, 1] = 2
+timed_packed = jnp.asarray(packed)
 timeit("tsdf_rows (5 rows + cur)", lambda: eng._tsdf_rows(
-    jax.tree.map(jnp.copy, eng.table), eng.store,
-    jnp.arange(5, dtype=jnp.int32), eyeb, eyeb,
-    jnp.full((5,), 2, jnp.int32), jnp.asarray(40, jnp.int32),
+    jax.tree.map(jnp.copy, eng.table), eng.store, timed_packed,
+    jnp.asarray(40, jnp.int32),
     jnp.asarray(np.eye(4, dtype=np.float32)), jnp.asarray(True)), n=3)
+
+timeit("render (splat)", lambda: eng._render(eng.table, eng._dev_eye), n=5)

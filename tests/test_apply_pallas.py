@@ -104,6 +104,39 @@ def test_ops_sequential_vs_separate_dispatches():
                                   np.asarray(t_seq.weight))
 
 
+def test_active_tile_selection_is_conservative():
+    """Blocks outside the frustum-compacted tile schedule must be provably
+    untouched: the full XLA twin (which applies the update rule to EVERY
+    block) must leave every excluded block's payload bitwise unchanged."""
+    from bundlefusion_tpu.geometry.lie import pose_inverse
+    from bundlefusion_tpu.tsdf.apply_pallas import TILE, active_tile_indices
+
+    t, depths, colors, poses = _setup()
+    signs = jnp.asarray([1.0, -1.0, 1.0])
+    img = jnp.asarray([0, 1, 2], jnp.int32)
+    w2c = jax.vmap(pose_inverse)(poses)
+    H, W = depths.shape[1:]
+    tidx, nt = active_tile_indices(t, w2c, signs, INTR, PARAMS, H, W)
+    active = np.zeros(t.num_blocks // TILE, bool)
+    active[np.asarray(tidx[: int(nt), 0])] = True
+    excluded_rows = np.repeat(~active, TILE)
+
+    t_x = apply_tsdf_ops_xla(t, depths, colors, poses, signs, img, INTR, PARAMS)
+    np.testing.assert_array_equal(
+        np.asarray(t_x.sdf[:-1])[excluded_rows], np.asarray(t.sdf[:-1])[excluded_rows]
+    )
+    np.testing.assert_array_equal(
+        np.asarray(t_x.weight[:-1])[excluded_rows],
+        np.asarray(t.weight[:-1])[excluded_rows],
+    )
+    np.testing.assert_array_equal(
+        np.asarray(t_x.color[:-1])[excluded_rows],
+        np.asarray(t.color[:-1])[excluded_rows],
+    )
+    # and the schedule actually compacts (some tiles excluded)
+    assert int(nt) < t.num_blocks // TILE
+
+
 def test_table_invariants_after_ops():
     t, depths, colors, poses = _setup()
     t = apply_tsdf_ops(t, depths, colors, poses, jnp.ones(3),

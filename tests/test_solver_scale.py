@@ -42,6 +42,8 @@ def big_ring_graph(rng, n_frames, corrs_per_pair=16, reach=3):
         img_j=jnp.asarray(np.repeat(pairs[:, 1], corrs_per_pair).astype(np.int32)),
         p_i=jnp.asarray(p_i.reshape(C, 3)),
         p_j=jnp.asarray(p_j.reshape(C, 3)),
+        key_i=jnp.zeros((C,), jnp.int32),
+        key_j=jnp.zeros((C,), jnp.int32),
         count=jnp.asarray(C, jnp.int32),
     )
     return gt_poses, store
