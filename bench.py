@@ -92,6 +92,17 @@ def main():
     # window; then run a few real frames so steady-state caches settle.
     # Frame i+1 uploads (async) while frame i computes — the upload pipeline
     # (the device link is ~100 MB/s; a frame is ~1.5 MB).
+    # persistent-cache diagnostics: entry count before/after warmup — a warm
+    # cache shows compile_s of seconds and no new entries; a cold one writes
+    # one entry per program (the cache is enabled in bundlefusion_tpu.__init__
+    # via jax.config.update; the env var is ignored by jax 0.9)
+    cache_dir = os.environ.get("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax_cc")
+    def _cache_entries():
+        try:
+            return len(os.listdir(cache_dir))
+        except OSError:
+            return 0
+    cache_before = _cache_entries()
     compile_s = eng.warmup()
     handle = eng.upload_frame(seq["depth"][0], seq["color"][0])
     for i in range(warmup_frames):
@@ -131,6 +142,7 @@ def main():
         "platform": platform,
         "ms_per_frame": round(1000.0 * elapsed / timed, 2),
         "compile_s": round(compile_s, 1),
+        "cache_entries": [cache_before, _cache_entries()],
         "stage_ms": stage_ms,
         # silent-cap accounting: must stay 0 for an exact global solve
         "pairs_dropped": eng.pairs_dropped_total,

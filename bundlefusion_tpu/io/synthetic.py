@@ -166,6 +166,98 @@ def orbit_trajectory(n_frames: int, radius: float = 0.4, noise: float = 0.0, see
     return np.stack(poses)
 
 
+def loop_trajectory(
+    n_frames: int,
+    radius: float = 0.55,
+    seed: int = 0,
+    odom_noise: float = 0.0,
+):
+    """Long-excursion trajectory with a REAL loop closure: the camera sweeps
+    a full orbit segment away from its start and returns to (nearly) the
+    starting pose in the final frames, the classic drift-then-close setup
+    the reference's global BA exists for (BundleFusion paper §1; ATE
+    evaluation vs GT ``PoseHelper.h:35-79``).
+
+    Returns [N, 4, 4] cam-to-world (float32). ``odom_noise`` adds small
+    per-frame pose jitter (meters) to make frame-to-frame tracking drift.
+    """
+    rng = np.random.default_rng(seed)
+    poses = []
+    for i in range(n_frames):
+        s = i / max(n_frames - 1, 1)
+        # out-and-back angle: 0 -> pi/2 -> 0 (returns to start)
+        a = np.pi / 2.0 * np.sin(np.pi * s) ** 2
+        eye = np.array(
+            [
+                radius * np.sin(a),
+                0.12 * np.sin(4.0 * np.pi * s),
+                -0.35 + 0.2 * (1.0 - np.cos(a)),
+            ],
+            np.float64,
+        )
+        if odom_noise > 0:
+            eye = eye + rng.normal(scale=odom_noise, size=3)
+        target = np.array([0.0, 0.0, 2.0])
+        fwd = target - eye
+        fwd /= np.linalg.norm(fwd)
+        up = np.array([0.0, -1.0, 0.0])
+        right = np.cross(up, fwd)
+        right /= np.linalg.norm(right)
+        up2 = np.cross(fwd, right)
+        R = np.stack([right, up2, fwd], 1)
+        T = np.eye(4, dtype=np.float32)
+        T[:3, :3] = R
+        T[:3, 3] = eye
+        poses.append(T)
+    return np.stack(poses)
+
+
+def make_sequence_wire(
+    n_frames: int,
+    intr: CameraIntrinsics | None = None,
+    scene: Scene | None = None,
+    poses: np.ndarray | None = None,
+    noise_depth: float = 0.0,
+    blackout: tuple | None = None,
+    seed: int = 0,
+):
+    """Render a sequence directly to the engine's wire format (uint16 mm
+    depth / uint8 color) to keep host memory bounded for LONG sequences
+    (a 640x480 frame is 1.3 MB wire vs 4.9 MB float32).
+
+    ``blackout``: optional (start, end) frame range rendered black/empty to
+    force a tracking loss (relocalization exercise — the reference's
+    retry-list machinery, SIFTImageManager.h:263-271).
+
+    Returns dict: depth_mm [N,H,W] u16, color [N,H,W,3] u8, poses, intr.
+    """
+    intr = intr or default_intrinsics()
+    scene = scene or default_scene()
+    if poses is None:
+        poses = orbit_trajectory(n_frames)
+    rng = np.random.default_rng(seed)
+    depths = np.zeros((n_frames, intr.height, intr.width), np.uint16)
+    colors = np.zeros((n_frames, intr.height, intr.width, 3), np.uint8)
+    for i in range(n_frames):
+        if blackout is not None and blackout[0] <= i < blackout[1]:
+            continue  # leave zeros: no depth, black image
+        d, c = render_frame(scene, intr, jnp.asarray(poses[i]))
+        d = np.asarray(d)
+        if noise_depth > 0:
+            d = d + rng.normal(scale=noise_depth, size=d.shape).astype(
+                np.float32
+            ) * d
+        d = np.where(np.isfinite(d), d, 0.0)
+        depths[i] = np.clip(d * 1000.0 + 0.5, 0, 65535).astype(np.uint16)
+        colors[i] = np.clip(np.asarray(c) * 255.0 + 0.5, 0, 255).astype(np.uint8)
+    return {
+        "depth": depths,
+        "color": colors,
+        "poses": poses,
+        "intrinsics": intr,
+    }
+
+
 def default_intrinsics(width: int = 320, height: int = 240) -> CameraIntrinsics:
     f = 0.89 * width  # ~58 deg hfov like Kinect
     return CameraIntrinsics(

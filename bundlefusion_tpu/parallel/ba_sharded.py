@@ -7,19 +7,30 @@ partitioned over devices, per-device reduced-system partials combined with
 XLA collectives over ICI):
 
 - **Correspondence sharding (BA)**: the EntryJ store is sharded along the
-  corr axis; poses are replicated. Each device builds its local J/JT
-  contributions; the [N, 6] gradient, the 6x6 block-Jacobi diagonal and
-  every PCG matvec partial are ``psum``-ed over the mesh. Because the
-  reference's 3D-3D sparse energy has NO landmark variables
+  corr axis; poses are replicated. Each device sorts ITS corr shard by pair
+  id and segment-sums it into per-pair 12x12 JtJ blocks / 12-vector Jtr —
+  the O(C) work, embarrassingly parallel. The tiny per-pair blocks
+  (~156 floats per pair) are ``all_gather``-ed ONCE per GN iteration; the
+  PCG inner loop then runs fully REPLICATED on the gathered reduced system
+  with ZERO collectives per iteration. Because the reference's 3D-3D
+  sparse energy has NO landmark variables
   (``SolverBundlingEquationsLie.h:42-57``), the "distributed Schur
-  complement" reduces to summing per-device camera-system contributions —
-  one [N, 6] all-reduce per PCG iteration riding ICI.
+  complement" reduces to concatenating per-device pair-block partials —
+  one small all-gather per GN iteration riding ICI (a pair split across a
+  shard boundary simply contributes two additive blocks).
 - **Keyframe sharding (matching)**: previous keyframes' descriptors are
   sharded across devices; the current keyframe is replicated; each device
   runs the MXU matcher against its shard (embarrassingly parallel).
 
 Single-chip ``solver.gn_pcg.solve_sparse`` and this module share the same
-math; this module wraps the stages in ``shard_map`` over a 1-D mesh.
+math (``build_sparse_pair_system`` / ``pair_incidence`` / the PCG body);
+this module wraps the stages in ``shard_map`` over a 1-D mesh.
+
+The round-2 design psum-ed a scatter-add J/JT rebuild per PCG iteration
+(O(C*. ) work + a collective per linear iteration) and measured 0.07
+weak-scaling efficiency at 8 devices; this design moves all O(C) work
+before the gather and was measured >=0.5 at 8 virtual CPU devices on a
+2-core host (see SCALING.json).
 """
 
 from __future__ import annotations
@@ -32,7 +43,18 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from bundlefusion_tpu.solver.gn_pcg import SolverParams, _gather_poses, _jac_batch, _res_batch
+from bundlefusion_tpu.solver.gn_pcg import (
+    SolverParams,
+    _gather_poses,
+    _jac_batch,
+    _pair_matvec_f32,
+    _pair_precond,
+    _pair_rhs,
+    _res_batch,
+    build_sparse_pair_system,
+    pair_incidence,
+    sort_corrs_by_pair,
+)
 from bundlefusion_tpu.solver.residuals import CorrStore
 
 
@@ -56,6 +78,133 @@ def shard_corrs(corrs: CorrStore, mesh: Mesh, axis: str = "shard") -> CorrStore:
     )
 
 
+def _pair_gather_gn(poses, free_f, sc, axis: str, params: SolverParams, w_sqrt):
+    """The shared per-device GN/PCG body: per-shard pair-system build
+    (``build_sparse_pair_system`` over the device's SortedCorrs) ->
+    all_gather of the per-pair blocks -> replicated PCG. Called inside a
+    shard_map region; returns (poses, dropped_local)."""
+    N = poses.shape[0]
+
+    # static pair->pose structure, gathered once per solve (a pair whose
+    # corrs straddle a shard boundary appears twice; its two partial
+    # blocks are additive through the incidence matmuls)
+    pair_i_g = jax.lax.all_gather(sc.pair_i, axis, tiled=True)
+    pair_j_g = jax.lax.all_gather(sc.pair_j, axis, tiled=True)
+    pair_v_g = jax.lax.all_gather(sc.pair_valid, axis, tiled=True)
+    oh_i, oh_j = pair_incidence(pair_i_g, pair_j_g, pair_v_g, N)
+
+    def gn_iter(it, carry):
+        poses, done = carry
+        # O(C/n_dev) per-shard: residuals + exact Jacobians + sorted
+        # segment-sum into per-pair blocks
+        H, b = build_sparse_pair_system(poses, sc, w_sqrt)
+        # THE one collective per GN iteration: [P_local, 156] blocks
+        Hg = jax.lax.all_gather(H, axis, tiled=True)      # [P_tot,12,12]
+        bg = jax.lax.all_gather(b, axis, tiled=True)      # [P_tot,12]
+
+        rhs = -_pair_rhs(bg, oh_i, oh_j) * free_f
+        Pm = _pair_precond(Hg, oh_i, oh_j, N) + jnp.eye(6) * 1e-6
+        P_inv = jnp.linalg.inv(Pm)
+
+        def apply_P(x):
+            return jnp.einsum("nij,nj->ni", P_inv, x) * free_f
+
+        def A(x):
+            return _pair_matvec_f32(Hg, oh_i, oh_j, x * free_f) * free_f
+
+        # PCG, fully replicated on the reduced system: no collectives
+        x0 = jnp.zeros_like(poses)
+        r0 = rhs
+        z0 = apply_P(r0)
+        rz0 = jnp.sum(r0 * z0)
+
+        def pcg_body(state):
+            k, x, rr, z, p, rz = state
+            Ap = A(p)
+            pAp = jnp.sum(p * Ap)
+            alpha = jnp.where(jnp.abs(pAp) > 1e-20, rz / pAp, 0.0)
+            x = x + alpha * p
+            rr = rr - alpha * Ap
+            z = apply_P(rr)
+            rz_new = jnp.sum(rr * z)
+            beta = jnp.where(jnp.abs(rz) > 1e-20, rz_new / rz, 0.0)
+            return k + 1, x, rr, z, z + beta * p, rz_new
+
+        def pcg_cond(state):
+            k, x, rr, z, p, rz = state
+            return (k < params.num_pcg) & (jnp.abs(rz) > params.pcg_early_out)
+
+        _, delta, *_ = jax.lax.while_loop(
+            pcg_cond, pcg_body, (jnp.asarray(0), x0, r0, z0, z0, rz0)
+        )
+        max_delta = jnp.max(jnp.abs(delta))
+        poses = jnp.where(done, poses, poses + delta * free_f)
+        done = done | (max_delta < params.gn_early_out_delta)
+        return poses, done
+
+    poses, _ = jax.lax.fori_loop(
+        0, params.num_gn, gn_iter, (poses, jnp.asarray(False))
+    )
+    return poses, sc.dropped
+
+
+def make_replicated_chunk_solver(
+    mesh: Mesh,
+    num_frames: int,
+    capacity: int,
+    params: SolverParams = SolverParams(),
+    axis: str = "shard",
+):
+    """Sharded-COMPUTE solver over a REPLICATED corr store, callable inside
+    an outer jit (the engine's mesh boundary program).
+
+    The global EntryJ store is small (~10 MB at reference capacity), so the
+    multi-chip engine keeps it replicated; each device slices its static
+    1/n chunk of the corr axis by ``axis_index``, builds the per-pair
+    blocks for its chunk, and the reduced system is all_gather-combined as
+    in :func:`solve_sparse_sharded`. Returns
+    ``solve(poses, pose_valid, corrs) -> (poses, dropped)``.
+    """
+    n_dev = int(mesh.shape[axis])
+    assert capacity % n_dev == 0, (capacity, n_dev)
+    Cl = capacity // n_dev
+    P_local = -(-params.max_pairs // n_dev)
+    w_sqrt = jnp.sqrt(jnp.asarray(params.sparse_weight, jnp.float32))
+    N = num_frames
+
+    @partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P(), P(), P(), P(), P(), P()),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+    def run(poses, free_f, img_i, img_j, p_i, p_j):
+        k = jax.lax.axis_index(axis)
+        start = k * Cl
+
+        def sl(a):
+            return jax.lax.dynamic_slice_in_dim(a, start, Cl, 0)
+
+        local = CorrStore(
+            img_i=sl(img_i), img_j=sl(img_j), p_i=sl(p_i), p_j=sl(p_j),
+            key_i=jnp.zeros((Cl,), jnp.int32), key_j=jnp.zeros((Cl,), jnp.int32),
+            count=jnp.asarray(0, jnp.int32),
+        )
+        sc = sort_corrs_by_pair(local, N, P_local)
+        poses_out, dropped_local = _pair_gather_gn(
+            poses, free_f, sc, axis, params, w_sqrt
+        )
+        return poses_out, jax.lax.psum(dropped_local, axis)
+
+    def solve(poses, pose_valid, corrs: CorrStore):
+        free = pose_valid & (jnp.arange(N) != 0)
+        free_f = free.astype(jnp.float32)[:, None]
+        return run(poses, free_f, corrs.img_i, corrs.img_j, corrs.p_i, corrs.p_j)
+
+    return solve
+
+
 def solve_sparse_sharded(
     poses,
     pose_valid,
@@ -64,103 +213,44 @@ def solve_sparse_sharded(
     params: SolverParams = SolverParams(),
     axis: str = "shard",
 ):
-    """GN/PCG with corr-sharded J/JT and psum-reduced camera system.
+    """GN/PCG with corr-sharded pair-system build and a replicated PCG.
 
     Same semantics as ``solve_sparse`` (minus per-corr max-residual stats);
-    returns (poses, final_cost).
+    returns (poses, final_cost). ``params.max_pairs`` is the TOTAL pair
+    budget across the mesh (rounded up to a multiple of the mesh size).
     """
     N = poses.shape[0]
+    n_dev = int(np.prod([mesh.shape[a] for a in (axis,)]))
+    P_local = -(-params.max_pairs // n_dev)  # per-shard pair capacity
+    w_sqrt = jnp.sqrt(jnp.asarray(params.sparse_weight, jnp.float32))
 
     @partial(
         jax.shard_map,
         mesh=mesh,
         in_specs=(P(), P(), P(axis), P(axis), P(axis), P(axis)),
         out_specs=(P(), P()),
+        # outputs are replicated by construction (PCG runs on the gathered
+        # reduced system, identical on every device); the varying-axis
+        # checker can't infer that through the loops
+        check_vma=False,
     )
     def run(poses, free_f, img_i, img_j, p_i, p_j):
+        # per-shard segment structure (fixed per solve): sort the local corr
+        # shard by pair id, ready for the per-GN segment-sum reduction
+        local = CorrStore(
+            img_i=img_i, img_j=img_j, p_i=p_i, p_j=p_j,
+            key_i=jnp.zeros_like(img_i), key_j=jnp.zeros_like(img_j),
+            count=jnp.asarray(0, jnp.int32),
+        )
+        sc = sort_corrs_by_pair(local, N, P_local)
+        poses, _ = _pair_gather_gn(poses, free_f, sc, axis, params, w_sqrt)
+        # final cost (global)
         v = img_i >= 0
         vf = v.astype(jnp.float32)[:, None]
-        ii = jnp.where(v, img_i, N)
-        jj = jnp.where(v, img_j, N)
-
-        def psum(x):
-            return jax.lax.psum(x, axis)
-
-        def gn_iter(it, carry):
-            poses, done = carry
-            pi = _gather_poses(poses, img_i)
-            pj = _gather_poses(poses, img_j)
-            r = _res_batch(pi, pj, p_i, p_j) * vf
-            Ji, Jj = _jac_batch(pi, pj, p_i, p_j)
-            Ji = Ji * vf[..., None]
-            Jj = Jj * vf[..., None]
-
-            def JT(y):
-                gi = jnp.einsum("cij,ci->cj", Ji, y)
-                gj = jnp.einsum("cij,ci->cj", Jj, y)
-                out = jnp.zeros((N + 1, 6), jnp.float32)
-                out = out.at[ii].add(gi, mode="drop")
-                out = out.at[jj].add(gj, mode="drop")
-                return psum(out[:N]) * free_f
-
-            def J(x):
-                xi = _gather_poses(x * free_f, img_i)
-                xj = _gather_poses(x * free_f, img_j)
-                return jnp.einsum("cij,cj->ci", Ji, xi) + jnp.einsum(
-                    "cij,cj->ci", Jj, xj
-                )
-
-            b = -JT(r)
-            Pi = jnp.einsum("cik,cil->ckl", Ji, Ji)
-            Pj = jnp.einsum("cik,cil->ckl", Jj, Jj)
-            Pd = jnp.zeros((N + 1, 6, 6), jnp.float32)
-            Pd = Pd.at[ii].add(Pi, mode="drop")
-            Pd = Pd.at[jj].add(Pj, mode="drop")
-            P_inv = jnp.linalg.inv(psum(Pd[:N]) + jnp.eye(6) * 1e-6)
-
-            def apply_P(x):
-                return jnp.einsum("nij,nj->ni", P_inv, x) * free_f
-
-            def A(x):
-                return JT(J(x))
-
-            x0 = jnp.zeros_like(poses)
-            r0 = b
-            z0 = apply_P(r0)
-            rz0 = jnp.sum(r0 * z0)
-
-            def pcg_body(state):
-                k, x, rr, z, p, rz = state
-                Ap = A(p)
-                pAp = jnp.sum(p * Ap)
-                alpha = jnp.where(jnp.abs(pAp) > 1e-20, rz / pAp, 0.0)
-                x = x + alpha * p
-                rr = rr - alpha * Ap
-                z = apply_P(rr)
-                rz_new = jnp.sum(rr * z)
-                beta = jnp.where(jnp.abs(rz) > 1e-20, rz_new / rz, 0.0)
-                return k + 1, x, rr, z, z + beta * p, rz_new
-
-            def pcg_cond(state):
-                k, x, rr, z, p, rz = state
-                return (k < params.num_pcg) & (jnp.abs(rz) > params.pcg_early_out)
-
-            _, delta, *_ = jax.lax.while_loop(
-                pcg_cond, pcg_body, (jnp.asarray(0), x0, r0, z0, z0, rz0)
-            )
-            max_delta = jnp.max(jnp.abs(delta))
-            poses = jnp.where(done, poses, poses + delta * free_f)
-            done = done | (max_delta < params.gn_early_out_delta)
-            return poses, done
-
-        poses, _ = jax.lax.fori_loop(
-            0, params.num_gn, gn_iter, (poses, jnp.asarray(False))
-        )
-        # final cost (global)
         pi = _gather_poses(poses, img_i)
         pj = _gather_poses(poses, img_j)
         r = _res_batch(pi, pj, p_i, p_j) * vf
-        cost = psum(jnp.sum(r * r))
+        cost = jax.lax.psum(jnp.sum(r * r), axis)
         return poses, cost
 
     free = pose_valid & (jnp.arange(N) != 0)

@@ -50,20 +50,27 @@ def match_and_filter(
     intr_sift: CameraIntrinsics,
     intr_cache: CameraIntrinsics,
     params: FrontendParams = FrontendParams(),
+    slots=None,
 ):
     """Match frame ``cur_slot`` against all previous slots in the store.
 
-    Returns per-pair dict over P = store capacity:
+    Args:
+      slots: optional [P'] int32 subset of store slots to match against
+        (default: every slot). The multi-chip boundary step passes each
+        device's chunk of the keyframe axis here, sharding the O(G)
+        match + filter cascade over the mesh.
+
+    Returns per-pair dict over P = len(slots) (= store capacity default):
       ``pair_valid`` [P], ``transforms`` [P, 4, 4] (cur -> prev),
       ``inlier_mask`` [P, R], ``idx_cur``/``idx_prev`` [P, R],
       ``p_cur``/``p_prev`` [P, R, 3] back-projected matched keypoints.
     """
-    P = keys.capacity
+    slots = jnp.arange(keys.capacity) if slots is None else slots
     cur_desc = keys.desc[cur_slot].astype(jnp.float32)
     cur_valid = keys.valid[cur_slot]
     cur_pos = keys.pos[cur_slot]
     cur_depth = keys.depth[cur_slot]
-    active = (jnp.arange(P) < cur_slot) & keys.frame_valid
+    active = (slots < cur_slot) & keys.frame_valid[slots]
 
     def match_one(slot):
         m = match_descriptors_pair(
@@ -86,7 +93,6 @@ def match_and_filter(
         pix_p = keys.pos[slot][m.idx_j]
         return m, pc, pp, pix_c, pix_p
 
-    slots = jnp.arange(P)
     matches, p_cur, p_prev, pix_cur, pix_prev = jax.vmap(match_one)(slots)
     match_valid = matches.valid & active[:, None]
 

@@ -184,13 +184,31 @@ class BundleFusion:
         mesh=None,
     ):
         """``mesh``: optional ``jax.sharding.Mesh``; with >1 device the
-        GLOBAL problem shards across it — keyframe stores/caches along the
-        keyframe axis (global matching = keyframe-sharded MXU matmuls) and
-        the correspondence store along the corr axis (pair-system reduction
-        sharded, psum-combined by GSPMD). The local submap + TSDF state stay
-        per-device, mirroring the reference's recon/bundling GPU split
-        scaled out (SURVEY.md §2.8 north star)."""
+        GLOBAL problem's COMPUTE shards across it: the boundary step splits
+        into a single-device local phase (submap solve + keyframe fusion —
+        the "reconstruction GPU") and a mesh program whose hot regions are
+        explicit ``shard_map``s — keyframe-chunked global matching and the
+        corr-chunked pair-reduced GN/PCG (``parallel/ba_sharded.py``).
+        Global STATE is replicated over the mesh (it is small — the corr
+        store is ~10 MB at reference capacity, the keyframe stores a few
+        hundred MB); replication keeps the per-frame path entirely on one
+        device and pins every program's sharding, which profiling showed is
+        what actually scales (axis-sharded state caused GSPMD recompile
+        thrash: 6 s/frame at n=2 vs 1.2 s at n=1 on the CPU harness).
+        This is the reference's recon/bundling DualGPU split scaled out
+        (SURVEY.md §2.8 north star)."""
         self.mesh = mesh
+        self._use_mesh = mesh is not None and mesh.devices.size > 1
+        if self._use_mesh:
+            n_dev = int(mesh.devices.size)
+            G_eff = max_keyframes or bundling.max_num_images
+            assert G_eff % n_dev == 0, (
+                f"keyframe capacity {G_eff} must divide the mesh size {n_dev}"
+            )
+            assert bundling.max_global_corr % n_dev == 0, (
+                f"max_global_corr {bundling.max_global_corr} must divide the "
+                f"mesh size {n_dev}"
+            )
         self.app = app
         self.bundling = bundling
         self.intr_input = intr_input
@@ -283,7 +301,7 @@ class BundleFusion:
             local_traj=jnp.zeros((self.G, self.S, 4, 4), jnp.float32),
             local_valid=jnp.zeros((self.G, self.S), bool),
         )
-        if mesh is not None and mesh.devices.size > 1:
+        if self._use_mesh:
             self.glob = self._shard_global(self.glob)
         self.keyframe_valid = np.zeros(self.G, bool)
         # device twin of keyframe_valid: feeds the next submap dispatch so
@@ -291,6 +309,8 @@ class BundleFusion:
         # (the host copy is only consumed by the retry/bookkeeping logic,
         # which tolerates a one-submap lag)
         self.kf_valid_dev = jnp.zeros((self.G,), bool)
+        if self._use_mesh:
+            self.kf_valid_dev = jax.device_put(self.kf_valid_dev, self._mesh_rep())
         self.num_keyframes = 0
 
         # device-resident frame archive for re-integration (no host copy)
@@ -356,29 +376,21 @@ class BundleFusion:
 
     # ------------------------------------------------------------------
     def _shard_global(self, glob: GlobalState) -> GlobalState:
-        """Place the global state sharded over the mesh: keyframe-major
-        arrays along the keyframe axis, the corr store along the corr axis,
-        poses replicated (they are the psum-reduced camera system)."""
+        """Place the global state REPLICATED over the mesh. Compute (not
+        state) is what shards: the boundary mesh program chunks the
+        keyframe axis for matching and the corr axis for the solver system
+        build inside explicit shard_maps (see ``_build_mesh_programs``).
+        Replicated state keeps every program's input sharding pinned — no
+        GSPMD layout churn — and costs little memory (corr store ~10 MB,
+        keyframe stores a few hundred MB at reference capacity)."""
+        rep = self._mesh_rep()
+        return jax.tree.map(lambda x: jax.device_put(x, rep), glob)
+
+    # ------------------------------------------------------------------
+    def _mesh_rep(self):
         from jax.sharding import NamedSharding, PartitionSpec as P
 
-        ax = self.mesh.axis_names[0]
-        g_sh = NamedSharding(self.mesh, P(ax))
-        rep = NamedSharding(self.mesh, P())
-
-        def put_g(x):
-            return jax.device_put(x, g_sh if x.ndim >= 1 else rep)
-
-        def put_c(x):
-            return jax.device_put(x, g_sh if x.ndim >= 1 else rep)
-
-        return GlobalState(
-            keys=jax.tree.map(put_g, glob.keys),
-            cache=jax.tree.map(put_g, glob.cache),
-            corrs=jax.tree.map(put_c, glob.corrs),
-            poses=jax.device_put(glob.poses, rep),
-            local_traj=jax.device_put(glob.local_traj, g_sh),
-            local_valid=jax.device_put(glob.local_valid, g_sh),
-        )
+        return NamedSharding(self.mesh, P())
 
     # ------------------------------------------------------------------
     def _fresh_local(self) -> LocalState:
@@ -771,7 +783,8 @@ class BundleFusion:
             ])
             return new_local, glob, kf_valid, overlap_world, pack
 
-        self._submap_step = jax.jit(submap_step, donate_argnums=(0, 1))
+        if not self._use_mesh:
+            self._submap_step = jax.jit(submap_step, donate_argnums=(0, 1))
 
         # ---------------- trajectory composition ----------------
         def compose(gposes, kf_valid, local_traj, local_valid):
@@ -796,6 +809,249 @@ class BundleFusion:
             )
 
         self._pack_tail = jax.jit(pack_tail)
+
+        # ---------------- mesh boundary programs ----------------
+        # Multi-device split of submap_step (SURVEY §2.8 north star): a
+        # single-device LOCAL phase (submap solve + verification + keyframe
+        # fusion + rollover — the "reconstruction device" work) and a mesh
+        # GLOBAL phase whose hot regions are explicit shard_maps:
+        # keyframe-chunked global matching and the corr-chunked pair-reduced
+        # GN/PCG. Global state is replicated (see _shard_global); the only
+        # cross-phase traffic is the fused keyframe row (~1 MB) out and a
+        # 4x4 overlap pose back.
+        if self._use_mesh:
+            from jax.sharding import PartitionSpec as PSpec
+            from bundlefusion_tpu.parallel.ba_sharded import (
+                make_replicated_chunk_solver,
+            )
+
+            mesh = self.mesh
+            ax = mesh.axis_names[0]
+            n_dev = int(mesh.devices.size)
+            Gl = G // n_dev
+            glob_K = bundling.max_num_keys_per_image
+
+            sharded_solve = make_replicated_chunk_solver(
+                mesh, G, bundling.max_global_corr, global_solver, ax
+            )
+
+            def submap_local(local: LocalState, submap_base, last_world):
+                """Single-device boundary phase: local solve -> verify ->
+                fuse keyframe -> rollover. Same math as submap_step's head."""
+                init = matrix_to_pose(local.rel)
+                lv = local.valid
+                if bundling.use_local_dense:
+                    poses, _ = solve_bundle(
+                        init, lv, local.corrs, local.cache, intr_cache,
+                        local_solver, dtp,
+                    )
+                else:
+                    poses, _ = solve_sparse(init, lv, local.corrs, local_solver)
+                local_world = pose_to_matrix(poses)
+                submap_ok = lv[0] & (jnp.sum(lv.astype(jnp.int32)) >= 2)
+                if bundling.use_local_verify:
+                    n_checked, n_failed = _verify_local_pairs(
+                        local_world, lv, local.cache, intr_cache, verify_params
+                    )
+                    submap_ok = submap_ok & (
+                        (n_checked == 0) | (n_failed <= n_checked // 3)
+                    )
+                lv_out = lv & submap_ok
+                fused = fuse_keyframe(
+                    local.keys, local.corrs, local_world, 0, intr_sift, glob_K
+                )
+                cache_row = jax.tree.map(lambda a: a[0], local.cache)
+
+                fresh_keys = create_keyframe_store(S, sift_cfg.target_keys)
+                fresh_cache = create_dense_cache(
+                    S, intr_cache.height, intr_cache.width
+                )
+                new_local = LocalState(
+                    keys=jax.tree.map(
+                        lambda dst, src: dst.at[0].set(src[S - 1]),
+                        fresh_keys, local.keys,
+                    ),
+                    cache=jax.tree.map(
+                        lambda dst, src: dst.at[0].set(src[S - 1]),
+                        fresh_cache, local.cache,
+                    ),
+                    corrs=create_corr_store(bundling.max_local_corr),
+                    rel=jnp.broadcast_to(jnp.eye(4, dtype=jnp.float32), (S, 4, 4)),
+                    valid=jnp.zeros((S,), bool).at[0].set(local.valid[S - 1]),
+                )
+                world_chained = jnp.einsum("ij,sjk->sik", submap_base, local.rel)
+                pack_a = jnp.concatenate(
+                    [world_chained.reshape(-1), lv.astype(jnp.float32)]
+                )
+                return (
+                    new_local, local_world, lv_out, submap_ok, fused,
+                    cache_row, pack_a,
+                )
+
+            self._submap_local = jax.jit(submap_local, donate_argnums=(0,))
+
+            # keyframe-chunked global matching: each device matches the new
+            # keyframe against its Gl-slot chunk of the (replicated) store,
+            # runs the full filter cascade incl. 80x60 dense verify on its
+            # chunk, and all_gathers the small per-pair outputs
+            @partial(
+                jax.shard_map,
+                mesh=mesh,
+                in_specs=(PSpec(), PSpec(), PSpec()),
+                out_specs=PSpec(),
+                check_vma=False,
+            )
+            def match_chunk(g_, keys, cache):
+                k = jax.lax.axis_index(ax)
+                slot_ids = (k * Gl + jnp.arange(Gl)).astype(jnp.int32)
+                mf = match_and_filter(
+                    g_, keys, cache, intr_sift, intr_cache, fp_global,
+                    slots=slot_ids,
+                )
+                out = {
+                    f: mf[f]
+                    for f in (
+                        "pair_valid", "inlier_mask", "idx_cur", "idx_prev",
+                        "p_cur", "p_prev",
+                    )
+                }
+                return jax.tree.map(
+                    lambda a: jax.lax.all_gather(a, ax, tiled=True), out
+                )
+
+            def submap_global(glob: GlobalState, kf_valid, g, fused,
+                              cache_row, local_world, lv_out, submap_ok,
+                              base_pose, last_world):
+                """Mesh boundary phase: insert keyframe -> sharded global
+                match -> sharded global solve (+ pruning) -> compose.
+                Mirrors submap_step's global branch."""
+                gk = glob.keys
+                gk = gk._replace(
+                    pos=gk.pos.at[g].set(fused["pos"]),
+                    scale=gk.scale.at[g].set(fused["scale"]),
+                    depth=gk.depth.at[g].set(fused["depth"]),
+                    response=gk.response.at[g].set(fused["response"]),
+                    valid=gk.valid.at[g].set(fused["valid"]),
+                    desc=gk.desc.at[g].set(fused["desc"].astype(jnp.bfloat16)),
+                    frame_valid=gk.frame_valid.at[g].set(submap_ok),
+                )
+                glob = glob._replace(
+                    keys=gk,
+                    cache=jax.tree.map(
+                        lambda dst, src: dst.at[g].set(src), glob.cache, cache_row
+                    ),
+                    poses=glob.poses.at[g].set(matrix_to_pose(base_pose)),
+                    local_traj=glob.local_traj.at[g].set(local_world),
+                    local_valid=glob.local_valid.at[g].set(lv_out),
+                )
+                kf_valid = kf_valid.at[g].set(submap_ok)
+
+                def global_branch(op):
+                    glob, kf_valid = op
+                    mf = dict(match_chunk(g, glob.keys, glob.cache))
+                    mf["cur_slot"] = g
+                    mf["num_keys_per_frame"] = glob_K
+                    matched = jnp.any(mf["pair_valid"])
+                    corrs = jax.lax.cond(
+                        matched,
+                        lambda c: add_to_residuals(
+                            c, mf, g.astype(jnp.int32),
+                            jnp.arange(G, dtype=jnp.int32),
+                        ),
+                        lambda c: c,
+                        glob.corrs,
+                    )
+                    kf_valid = kf_valid.at[g].set(kf_valid[g] & matched)
+                    kv = kf_valid & (jnp.arange(G) <= g)
+                    prev_poses = glob.poses
+                    sposes, dropped = sharded_solve(glob.poses, kv, corrs)
+
+                    def prune_round(carry, _):
+                        corrs, sposes = carry
+                        mr, ci = max_residual(sposes, corrs)
+                        fa = corrs.img_i[ci]
+                        fb = corrs.img_j[ci]
+                        do = (
+                            (mr > bundling.opt_max_res_thresh)
+                            & (fa >= 0) & (fb >= 0)
+                        )
+
+                        def prune(c):
+                            c = invalidate_image_pair(c, fa, fb)
+                            if bundling.use_guided_remove:
+                                r_now, v_ = compute_residuals(sposes, c)
+                                m_now = jnp.max(jnp.abs(r_now), -1)
+                                r_prev, _ = compute_residuals(prev_poses, c)
+                                m_prev = jnp.max(jnp.abs(r_prev), -1)
+                                hi_thresh = jnp.clip(0.2 * mr, 0.1, 0.4)
+                                qual = (
+                                    v_ & (mr > 0.2)
+                                    & (m_now > hi_thresh)
+                                    & (c.img_i == g)
+                                    & (jnp.abs(c.img_i - c.img_j) > 10)
+                                    & (m_prev > 1.5 * m_now)
+                                )
+                                pid = jnp.where(v_, c.img_i * G + c.img_j, G * G)
+                                killed = jnp.zeros((G * G + 1,), bool).at[
+                                    jnp.where(qual, pid, G * G)
+                                ].set(True, mode="drop")
+                                c = c._replace(
+                                    img_i=jnp.where(killed[pid], -1, c.img_i)
+                                )
+                            p2, _ = sharded_solve(prev_poses, kv, c)
+                            return c, p2
+
+                        corrs, sposes = jax.lax.cond(
+                            do, prune, lambda c: (c, sposes), corrs
+                        )
+                        return (corrs, sposes), do
+
+                    (corrs, sposes), _ = jax.lax.scan(
+                        prune_round, (corrs, sposes), None,
+                        length=bundling.max_prune_rounds,
+                    )
+
+                    if bundling.use_comprehensive_frame_invalidation:
+                        counts = corr_counts_per_frame(corrs, G)
+                        ks = jnp.arange(G)
+                        keep = (counts > 0) | (ks == 0) | (ks > g)
+                        kf_valid = kf_valid & keep
+                    return (
+                        glob._replace(corrs=corrs, poses=sposes), kf_valid,
+                        matched, dropped,
+                    )
+
+                def no_global(op):
+                    glob, kf_valid = op
+                    return (
+                        glob, kf_valid, jnp.asarray(True),
+                        jnp.asarray(0, jnp.int32),
+                    )
+
+                glob, kf_valid, matched, pairs_dropped = jax.lax.cond(
+                    g > 0, global_branch, no_global, (glob, kf_valid)
+                )
+
+                kf_world_g = pose_to_matrix(glob.poses[g])
+                overlap_world = jnp.where(
+                    submap_ok, kf_world_g @ local_world[S - 1], last_world
+                )
+                comp, comp_ok = compose(
+                    glob.poses, kf_valid, glob.local_traj, glob.local_valid
+                )
+                pack_b = jnp.concatenate([
+                    kf_valid.astype(jnp.float32),
+                    jnp.stack([
+                        submap_ok.astype(jnp.float32),
+                        matched.astype(jnp.float32),
+                        pairs_dropped.astype(jnp.float32),
+                    ]),
+                    comp.reshape(-1),
+                    comp_ok.astype(jnp.float32),
+                ])
+                return glob, kf_valid, overlap_world, pack_b
+
+            self._submap_global = jax.jit(submap_global, donate_argnums=(0,))
 
         self._gc = jax.jit(garbage_collect, donate_argnums=(0,), static_argnums=(1,))
 
@@ -858,9 +1114,27 @@ class BundleFusion:
             local_valid=jnp.zeros((self.G, self.S), bool),
         )
         kfv = jnp.zeros((self.G,), bool)
-        local, glob, kfv, _, pack = self._submap_step(
-            local, glob, kfv, self._i32(1), self._dev_eye, self._dev_eye
-        )
+        if not self._use_mesh:
+            local, glob, kfv, _, pack = self._submap_step(
+                local, glob, kfv, self._i32(1), self._dev_eye, self._dev_eye
+            )
+        else:
+            (
+                local, local_world, lv_out, submap_ok, fused, cache_row, pack
+            ) = self._submap_local(local, self._dev_eye, self._dev_eye)
+            rep = self._mesh_rep()
+
+            def put(t):
+                return jax.tree.map(lambda a: jax.device_put(a, rep), t)
+
+            glob = self._shard_global(glob)
+            kfv = jax.device_put(kfv, rep)
+            glob, kfv, _, pack_b = self._submap_global(
+                glob, kfv, jax.device_put(np.int32(1), rep), put(fused),
+                put(cache_row), put(local_world), put(lv_out), put(submap_ok),
+                put(self._dev_eye), put(self._dev_eye),
+            )
+            pack = (pack, pack_b)
         # revalidation path programs (match + conditional residual append +
         # the eager frame_valid toggles, Bundler::tryRevalidation analog)
         gk = glob.keys
@@ -1067,26 +1341,69 @@ class BundleFusion:
         # this submap's global solve (tryRevalidation, Bundler.cpp:306-352)
         self._try_revalidation()
 
+        if not self._use_mesh:
+            (
+                self.local,
+                self.glob,
+                self.kf_valid_dev,
+                overlap_world_dev,
+                pack_dev,
+            ) = self._submap_step(
+                self.local,
+                self.glob,
+                self.kf_valid_dev,
+                self._i32(g),
+                self.submap_base,
+                last_world_dev,
+            )
+            pack_dev.copy_to_host_async()
+            # the next submap's frames chain off the solved overlap pose —
+            # stays on device, no round-trip
+            self.submap_base = overlap_world_dev
+            self.num_keyframes += 1
+            self._pending_submaps.append((g, pack_dev))
+            return True
+
+        # ---- mesh path: single-device local phase, then the sharded
+        # global phase on the mesh; traffic between them is the fused
+        # keyframe row + cache row (~1 MB) and a 4x4 pose back ----
         (
             self.local,
+            local_world,
+            lv_out,
+            submap_ok,
+            fused,
+            cache_row,
+            pack_a,
+        ) = self._submap_local(self.local, self.submap_base, last_world_dev)
+        rep = self._mesh_rep()
+
+        def put(t):
+            return jax.tree.map(lambda a: jax.device_put(a, rep), t)
+
+        (
             self.glob,
             self.kf_valid_dev,
-            overlap_world_dev,
-            pack_dev,
-        ) = self._submap_step(
-            self.local,
+            overlap_mesh,
+            pack_b,
+        ) = self._submap_global(
             self.glob,
             self.kf_valid_dev,
-            self._i32(g),
-            self.submap_base,
-            last_world_dev,
+            jax.device_put(np.int32(g), rep),
+            put(fused),
+            put(cache_row),
+            put(local_world),
+            put(lv_out),
+            put(submap_ok),
+            put(self.submap_base),
+            put(last_world_dev),
         )
-        pack_dev.copy_to_host_async()
-        # the next submap's frames chain off the solved overlap pose —
-        # stays on device, no round-trip
-        self.submap_base = overlap_world_dev
+        pack_a.copy_to_host_async()
+        pack_b.copy_to_host_async()
+        # overlap pose returns to the per-frame device
+        self.submap_base = jax.device_put(overlap_mesh, jax.devices()[0])
         self.num_keyframes += 1
-        self._pending_submaps.append((g, pack_dev))
+        self._pending_submaps.append((g, (pack_a, pack_b)))
         return True
 
     # ------------------------------------------------------------------
@@ -1096,10 +1413,14 @@ class BundleFusion:
         queue, and the optimized complete trajectory — one flat transfer
         each. Without ``force``, stops at the first pack still in flight."""
         while self._pending_submaps:
-            if not force and not self._pending_submaps[0][1].is_ready():
+            pack = self._pending_submaps[0][1]
+            parts = pack if isinstance(pack, tuple) else (pack,)
+            if not force and not all(p.is_ready() for p in parts):
                 return
-            g, pack_dev = self._pending_submaps.pop(0)
-            self._retire_one(g, pack_dev)
+            g, pack = self._pending_submaps.pop(0)
+            if isinstance(pack, tuple):
+                pack = np.concatenate([np.asarray(p) for p in pack])
+            self._retire_one(g, pack)
 
     # ------------------------------------------------------------------
     def _retire_one(self, g: int, pack_dev):

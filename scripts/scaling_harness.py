@@ -56,6 +56,7 @@ for i in range(warm, n_frames):
     eng.process_frame(seq["depth"][i], seq["color"][i])
 jax.block_until_ready((eng.local, eng.glob, eng.table))
 fps = (n_frames - warm) / (time.perf_counter() - t0)
+eng._flush_pending()   # retire in-flight submaps so the validity count is real
 traj = eng.trajectory()
 ok = int(np.isfinite(traj).all((1, 2)).sum())
 print(json.dumps({"n": n, "fps": round(fps, 3), "valid": ok, "frames": n_frames}))
