@@ -1061,10 +1061,14 @@ class BundleFusion:
         # Uses the surface-splat renderer (splat.py): the per-pixel march
         # is gather-bound on TPU (~600 ms/frame measured); splatting runs
         # in single-digit ms with the same output contract.
+        # the splat's packed z-buffer carries a 19-bit sample index (block *
+        # 64 runs), capping it at 8192 rasterized blocks per frame — ample
+        # for a 320x240 preview (524K candidate samples for 77K pixels);
+        # the integrate compaction cap (vis_cap) can be much larger
         sp = SplatParams(
             depth_min=app.render_depth_min,
             depth_max=app.render_depth_max,
-            visible_cap=self.vis_cap,
+            visible_cap=min(self.vis_cap, 8192),
         )
         self._render = jax.jit(
             lambda table, cam: splat_render(table, intr_int, cam, tsdf_params, sp)
@@ -1072,71 +1076,68 @@ class BundleFusion:
 
     # ------------------------------------------------------------------
     def warmup(self) -> float:
-        """Compile + execute every engine program on throwaway state.
+        """Compile + execute every engine program before the first frame.
 
-        The driver benchmark runs in a fresh process where each program
-        compile costs tens of seconds (no persistent cache on this
-        platform); any program first reached inside the timed window would
-        dominate the measurement (round-1 failure mode). This executes all
-        of them — frame step, both TSDF variants, garbage collection,
-        submap step (both global-branch sides via lax.cond), revalidation
-        matching, finish-path solves, composition, rendering — against
-        dummy state of identical shapes/statics, so the real run never
-        compiles. Returns elapsed seconds.
+        The driver benchmark runs in a fresh process; any program first
+        reached inside the timed window would dominate the measurement
+        (round-1 failure mode). This executes all of them — frame step,
+        both TSDF variants, garbage collection, submap step (both
+        global-branch sides via lax.cond), revalidation matching,
+        finish-path solves, composition, rendering.
+
+        Runs against the ENGINE'S OWN (still-empty) state via donation —
+        a dummy zero frame writes into slot 0 / keyframe row 1, all of
+        which the real stream fully overwrites, and contributes no TSDF
+        blocks, no correspondences, and no keyframe validity. Duplicating
+        the state instead (round-2 design) doubled peak HBM and OOMed at
+        the reference default capacity (12000-frame archive + 200K-block
+        volume ~ 7 GB of state). Returns elapsed seconds.
         """
         import time as _time
 
+        assert self.frame_idx == 0, "warmup() must run before the first frame"
         t0 = _time.perf_counter()
-        app, bundling = self.app, self.bundling
+        bundling = self.bundling
         d = jnp.zeros((self.intr_input.height, self.intr_input.width), jnp.uint16)
         c = jnp.zeros((self.intr_input.height, self.intr_input.width, 3), jnp.uint8)
-        local = self._fresh_local()
-        store = create_frame_store(
-            self.frame_cap, self.intr_int.height, self.intr_int.width
+        self.local, self.store, T_dev, valid_dev = self._frame_step(
+            d, c, self.local, self.store, self._dev_eye, self._i32(0), self._i32(0)
         )
-        local, store, T_dev, valid_dev = self._frame_step(
-            d, c, local, store, self._dev_eye, self._i32(0), self._i32(0)
+        # zero depth -> no candidate blocks: the TSDF/gc warmups are no-ops
+        self.table = self._tsdf_fast(
+            self.table, self.store, self._i32(0), T_dev, valid_dev
         )
-        table = create_table(app.hash_key_capacity, app.hash_num_sdf_blocks)
-        table = self._tsdf_fast(table, store, self._i32(0), T_dev, valid_dev)
         packed = jnp.zeros((5, 34), jnp.float32)
-        table = self._tsdf_rows(table, store, packed, self._i32(0), T_dev, valid_dev)
-        table = self._gc(table)
-        render = self._render(table, self._dev_eye)
-        glob = GlobalState(
-            keys=create_keyframe_store(self.G, bundling.max_num_keys_per_image),
-            cache=create_dense_cache(
-                self.G, self.intr_cache.height, self.intr_cache.width
-            ),
-            corrs=create_corr_store(bundling.max_global_corr),
-            poses=jnp.zeros((self.G, 6), jnp.float32),
-            local_traj=jnp.zeros((self.G, self.S, 4, 4), jnp.float32),
-            local_valid=jnp.zeros((self.G, self.S), bool),
+        self.table = self._tsdf_rows(
+            self.table, self.store, packed, self._i32(0), T_dev, valid_dev
         )
-        kfv = jnp.zeros((self.G,), bool)
+        self.table = self._gc(self.table)
+        render = self._render(self.table, self._dev_eye)
         if not self._use_mesh:
-            local, glob, kfv, _, pack = self._submap_step(
-                local, glob, kfv, self._i32(1), self._dev_eye, self._dev_eye
+            self.local, self.glob, self.kf_valid_dev, _, pack = self._submap_step(
+                self.local, self.glob, self.kf_valid_dev, self._i32(1),
+                self._dev_eye, self._dev_eye,
             )
         else:
             (
-                local, local_world, lv_out, submap_ok, fused, cache_row, pack
-            ) = self._submap_local(local, self._dev_eye, self._dev_eye)
+                self.local, local_world, lv_out, submap_ok, fused, cache_row,
+                pack,
+            ) = self._submap_local(self.local, self._dev_eye, self._dev_eye)
             rep = self._mesh_rep()
 
             def put(t):
                 return jax.tree.map(lambda a: jax.device_put(a, rep), t)
 
-            glob = self._shard_global(glob)
-            kfv = jax.device_put(kfv, rep)
-            glob, kfv, _, pack_b = self._submap_global(
-                glob, kfv, jax.device_put(np.int32(1), rep), put(fused),
-                put(cache_row), put(local_world), put(lv_out), put(submap_ok),
-                put(self._dev_eye), put(self._dev_eye),
+            self.glob, self.kf_valid_dev, _, pack_b = self._submap_global(
+                self.glob, self.kf_valid_dev, jax.device_put(np.int32(1), rep),
+                put(fused), put(cache_row), put(local_world), put(lv_out),
+                put(submap_ok), put(self._dev_eye), put(self._dev_eye),
             )
             pack = (pack, pack_b)
+        glob = self.glob
         # revalidation path programs (match + conditional residual append +
-        # the eager frame_valid toggles, Bundler::tryRevalidation analog)
+        # the eager frame_valid toggles, Bundler::tryRevalidation analog);
+        # nothing appends (no pair survives against an all-invalid store)
         gk = glob.keys
         glob = glob._replace(keys=gk._replace(frame_valid=gk.frame_valid.at[0].set(True)))
         mf = match_and_filter(
@@ -1148,22 +1149,26 @@ class BundleFusion:
             jnp.arange(self.G, dtype=jnp.int32),
         )
         gk = glob.keys
-        glob = glob._replace(keys=gk._replace(frame_valid=gk.frame_valid.at[0].set(False)))
+        self.glob = glob._replace(
+            keys=gk._replace(frame_valid=gk.frame_valid.at[0].set(False))
+        )
         # finish() path programs: standalone global solves + composition
-        gposes, _ = solve_sparse(glob.poses, kfv, corrs2, self.global_solver)
+        # (results discarded; the engine's poses are not donated)
+        kfv = self.kf_valid_dev
+        gposes, _ = solve_sparse(self.glob.poses, kfv, corrs2, self.global_solver)
         if bundling.use_global_dense_at_end:
             gposes, _ = solve_bundle(
-                glob.poses, kfv, corrs2, glob.cache, self.intr_cache,
+                self.glob.poses, kfv, corrs2, self.glob.cache, self.intr_cache,
                 self.global_solver, self.dense_term_params,
                 dense_weights=jnp.full(
                     (self.global_solver.num_gn,), 15.0, jnp.float32
                 ),
                 w_color=bundling.dense_color_at_end_weight,
             )
-        comp = self._compose(gposes, kfv, glob.local_traj, glob.local_valid)
-        tail = self._pack_tail(local, self._dev_eye)
-        jax.block_until_ready((table, render, pack, comp, tail, glob))
-        del local, store, table, glob, render, pack, comp, tail, corrs2, gposes, mf
+        comp = self._compose(gposes, kfv, self.glob.local_traj, self.glob.local_valid)
+        tail = self._pack_tail(self.local, self._dev_eye)
+        jax.block_until_ready((self.table, render, pack, comp, tail, self.glob))
+        del render, pack, comp, tail, corrs2, gposes, mf
         return _time.perf_counter() - t0
 
     # ------------------------------------------------------------------

@@ -98,7 +98,25 @@ def find_overlapping_pairs(
 
     flat_i = ii.reshape(-1)
     flat_j = jj.reshape(-1)
-    counts = jax.vmap(overlap_count)(flat_i, flat_j).reshape(N, N)
+    # chunked evaluation: a flat vmap over all N^2 pairs materializes
+    # [N^2, h', w', 3] — 35 GB at the reference capacity N=1200. lax.map
+    # serializes fixed-size chunks, bounding the intermediate to
+    # [CH, h', w', 3] (~30 MB) while keeping each chunk wide enough to
+    # fill the VPU.
+    P_all = N * N
+    CH = min(16384, P_all)
+    n_chunks = -(-P_all // CH)
+    pad = n_chunks * CH - P_all
+    fi_pad = jnp.concatenate([flat_i, jnp.zeros((pad,), flat_i.dtype)])
+    fj_pad = jnp.concatenate([flat_j, jnp.zeros((pad,), flat_j.dtype)])
+
+    def chunk_counts(c):
+        fi = jax.lax.dynamic_slice_in_dim(fi_pad, c * CH, CH)
+        fj = jax.lax.dynamic_slice_in_dim(fj_pad, c * CH, CH)
+        return jax.vmap(overlap_count)(fi, fj)
+
+    counts = jax.lax.map(chunk_counts, jnp.arange(n_chunks)).reshape(-1)
+    counts = counts[:P_all].reshape(N, N)
     cand = cand & (counts >= p.overlap_min_hits)
 
     flat = cand.reshape(-1)
