@@ -82,6 +82,9 @@ class AppConfig:
     garbage_collection_enabled: bool = True
     garbage_collection_starve: int = 0        # weight decay every n-th frame (0 = off)
     streaming_enabled: bool = False           # host paging of cold blocks
+    streaming_radius: float = 4.0             # page out blocks beyond this (m)
+    streaming_every: int = 10                 # full page sweep cadence (frames)
+    streaming_blocked_cap: int = 65536        # max tracked paged-out blocks
     reconstruction_enabled: bool = True
 
     # mesh export

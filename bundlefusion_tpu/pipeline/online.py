@@ -342,6 +342,19 @@ class BundleFusion:
         self._window_base = 0
         self._anchor_slot = 0
 
+        # host paging of cold TSDF blocks (the chunk-grid analog; OFF by
+        # default like the reference's BundleFusion config — paging is
+        # incompatible with de-integration, CUDASceneRepHashSDF.h:89-91).
+        # When on: a host block store + the device-side sorted paged-key
+        # array the alloc path consults (isSDFBlockStreamedOut analog).
+        if app.streaming_enabled:
+            from bundlefusion_tpu.tsdf.streaming import HostBlockStore
+
+            self.host_blocks = HostBlockStore()
+            self._blocked_dev = jnp.full(
+                (app.streaming_blocked_cap,), EMPTY_KEY, jnp.int32
+            )
+
         self.traj_manager = TrajectoryManager(app.top_n_active, app.min_pose_dist_sqrt)
         # relocalization retry list (reference SIFTImageManager retry list +
         # Bundler::tryRevalidation, Bundler.cpp:306-352)
@@ -512,13 +525,17 @@ class BundleFusion:
                 cs.append(c)
             return jnp.stack(ds), jnp.stack(cs)
 
-        def tsdf_fast(table, store: FrameStore, fid, T_cur, valid):
+        stream_on = app.streaming_enabled
+
+        def tsdf_fast(table, store: FrameStore, fid, T_cur, valid, blocked=None):
             """Typical frame: just the current frame's fuse (no rows).
-            ONE allocation + ONE kernel sweep."""
+            ONE allocation + ONE kernel sweep. ``blocked`` (streaming only)
+            carries the paged-out-block keys the alloc must skip."""
             d, c = decode_frame(store.depth_mm[fid], store.color[fid])
             packed = candidate_keys(d, intr_int, T_cur, tsdf_params)
             table = allocate_packed(
-                table, jnp.where(valid, packed, jnp.int32(EMPTY_KEY))
+                table, jnp.where(valid, packed, jnp.int32(EMPTY_KEY)),
+                blocked=blocked,
             )
             return _apply_ops(
                 table,
@@ -530,7 +547,7 @@ class BundleFusion:
             )
 
         def tsdf_rows(table, store: FrameStore, packed, fid_cur, T_cur,
-                      cur_valid):
+                      cur_valid, blocked=None):
             """Re-integration frame: up to R rows (de/re/int ops,
             ``DepthSensing.cpp: reintegrate():854-902``) + the current
             frame's fuse, in ONE batched allocation + ONE kernel sweep.
@@ -584,11 +601,27 @@ class BundleFusion:
             # blocks, losing them permanently after the de-integration)
             from bundlefusion_tpu.tsdf.table import ALLOC_COMPACT
 
-            table = allocate_packed(table, packed, compact=ALLOC_COMPACT * (R + 1))
+            table = allocate_packed(
+                table, packed, compact=ALLOC_COMPACT * (R + 1), blocked=blocked
+            )
             return _apply_ops(table, depths, colors, poses, signs, img_of_op)
 
-        self._tsdf_fast = jax.jit(tsdf_fast, donate_argnums=(0,))
-        self._tsdf_rows = jax.jit(tsdf_rows, donate_argnums=(0,))
+        if stream_on:
+            self._tsdf_fast = jax.jit(tsdf_fast, donate_argnums=(0,))
+            self._tsdf_rows = jax.jit(tsdf_rows, donate_argnums=(0,))
+        else:
+            # fix the no-streaming signature (no blocked arg; scripts/tests
+            # call these directly)
+            self._tsdf_fast = jax.jit(
+                lambda table, store, fid, T, v: tsdf_fast(table, store, fid, T, v),
+                donate_argnums=(0,),
+            )
+            self._tsdf_rows = jax.jit(
+                lambda table, store, packed, fid, T, v: tsdf_rows(
+                    table, store, packed, fid, T, v
+                ),
+                donate_argnums=(0,),
+            )
 
         # ---------------- submap_step ----------------
         def submap_step(local: LocalState, glob: GlobalState, kf_valid, g,
@@ -1104,12 +1137,14 @@ class BundleFusion:
             d, c, self.local, self.store, self._dev_eye, self._i32(0), self._i32(0)
         )
         # zero depth -> no candidate blocks: the TSDF/gc warmups are no-ops
+        stream_args = (self._blocked_dev,) if self.app.streaming_enabled else ()
         self.table = self._tsdf_fast(
-            self.table, self.store, self._i32(0), T_dev, valid_dev
+            self.table, self.store, self._i32(0), T_dev, valid_dev, *stream_args
         )
         packed = jnp.zeros((5, 34), jnp.float32)
         self.table = self._tsdf_rows(
-            self.table, self.store, packed, self._i32(0), T_dev, valid_dev
+            self.table, self.store, packed, self._i32(0), T_dev, valid_dev,
+            *stream_args,
         )
         self.table = self._gc(self.table)
         render = self._render(self.table, self._dev_eye)
@@ -1272,6 +1307,17 @@ class BundleFusion:
             with self.timing.stage("time_visualize", ft):
                 self.last_render = self._render(self.table, T_world_dev)
 
+        # ---- streaming sweep (opt-in): page far blocks to the host, pull
+        # returning ones back, refresh the paged-key array the alloc skips
+        # (full sweep every streaming_every frames vs the reference's
+        # 1/80th-per-frame round robin — same steady-state contract) ----
+        if (
+            self.app.streaming_enabled
+            and f > 0
+            and f % self.app.streaming_every == 0
+        ):
+            self._stream_update()
+
         # ---- submap boundary: dispatch the solve (device-side dependency
         # only; results retired on a later frame) ----
         if is_boundary:
@@ -1282,6 +1328,32 @@ class BundleFusion:
 
         self.frame_idx += 1
         return {"pose": T_world_dev, "valid": valid_dev}
+
+    # ------------------------------------------------------------------
+    def _stream_update(self):
+        """One host paging sweep around the latest known camera position:
+        stream returning blocks in, far blocks out, and refresh the
+        device-side paged-key array (``isSDFBlockStreamedOut`` analog,
+        consulted by the alloc path)."""
+        from bundlefusion_tpu.tsdf.streaming import stream_in, stream_out
+
+        if not self.sift_world:
+            return  # no retired pose yet to center the radius on
+        campos = np.asarray(self.sift_world[-1])[:3, 3]
+        vs = self.app.sdf_voxel_size
+        r = self.app.streaming_radius
+        self.table = stream_in(self.table, self.host_blocks, campos, r, vs)
+        self.table = stream_out(self.table, self.host_blocks, campos, r, vs)
+        cap = self.app.streaming_blocked_cap
+        arr = np.full((cap,), int(EMPTY_KEY), np.int32)
+        if self.host_blocks.blocks:
+            ks = np.sort(
+                np.fromiter(self.host_blocks.blocks.keys(), np.int64).astype(
+                    np.int32
+                )
+            )[:cap]
+            arr[: len(ks)] = ks
+        self._blocked_dev = jnp.asarray(arr)
 
     # ------------------------------------------------------------------
     def _store_slot(self, f: int) -> int:
@@ -1573,6 +1645,7 @@ class BundleFusion:
         if not rows and not has_cur:
             return
         R = 5
+        stream_args = (self._blocked_dev,) if self.app.streaming_enabled else ()
         if not rows and has_cur:
             self.table = self._tsdf_fast(
                 self.table,
@@ -1580,6 +1653,7 @@ class BundleFusion:
                 self._i32(store_slot),
                 T_world_dev,
                 valid_dev,
+                *stream_args,
             )
             return
 
@@ -1609,6 +1683,7 @@ class BundleFusion:
             fid_cur,
             T_cur,
             cur_valid,
+            *stream_args,
         )
         for f, mode, To, Tn in rows:
             if mode == 1:

@@ -193,7 +193,8 @@ def allocate(table: VoxelBlockTable, candidate_coords, valid_mask) -> VoxelBlock
 
 
 def allocate_packed(
-    table: VoxelBlockTable, packed_all, compact: int = ALLOC_COMPACT
+    table: VoxelBlockTable, packed_all, compact: int = ALLOC_COMPACT,
+    blocked=None,
 ) -> VoxelBlockTable:
     """Insert candidate blocks given as packed keys [M] (EMPTY = invalid).
 
@@ -208,6 +209,13 @@ def allocate_packed(
     ``compact`` is the deduped-candidate capacity; callers batching several
     frames' candidates into one call must scale it by the frame count so
     each frame keeps its single-frame allocation budget.
+
+    ``blocked``: optional ASCENDING-sorted int32 [B] of packed keys that
+    are currently paged out to the host (EMPTY_KEY padded) — the
+    ``isSDFBlockStreamedOut`` analog (``CUDASceneRepHashSDF.cu:153-163``):
+    a candidate matching a paged-out block is dropped instead of being
+    re-allocated empty (which would fork the block's state from its host
+    copy). Only passed when streaming is enabled.
     """
     # Candidates arrive in image-scan order, so duplicates come in runs
     # (a block's footprint spans ~7 px); dropping consecutive repeats +
@@ -221,6 +229,14 @@ def allocate_packed(
     packed_raw = jnp.full((M,), EMPTY_KEY, jnp.int32).at[
         jnp.where(keep & (cpos < M), cpos, M)
     ].set(packed_all, mode="drop")
+
+    if blocked is not None:
+        # drop candidates that are paged out (streamed-out block check)
+        bpos = jnp.clip(
+            jnp.searchsorted(blocked, packed_raw), 0, blocked.shape[0] - 1
+        )
+        hit = (blocked[bpos] == packed_raw) & (packed_raw != EMPTY_KEY)
+        packed_raw = jnp.where(hit, EMPTY_KEY, packed_raw)
 
     # Presence check by SORT-MERGE, not binary search: jnp.searchsorted
     # lowers to ~17 sequential gather rounds (~10 ms at 37K queries on v5e,
