@@ -71,9 +71,16 @@ V = BLOCK_VOLUME                  # 512
 TILE = 128                        # payload rows per DMA chunk (fewer, larger
                                   # DMAs: the per-tile issue/loop overhead on
                                   # the scalar core was the measured floor)
-HT = 32                           # sampling chunk rows (bounds the one-hot
-                                  # and rows transients to ~36 MB VMEM)
+HT = 8                            # sampling chunk rows: slots allocate in
+                                  # sorted packed-key batches (x fastest), so
+                                  # a chunk of HT consecutive slots is an
+                                  # ~HT-block x-strip; 8 blocks = 64 cm spans
+                                  # ~90 px at 2 m, letting the windowed MXU
+                                  # paths fire (at HT=32 the 2.5 m strip
+                                  # forced the full-width fallback on every
+                                  # chunk - 13.4 GFLOP/chunk vs 0.7)
 WIN = 64                          # u-window columns for MXU sampling
+WIN2 = 128                        # wider u-window (the x-strip common case)
 VW = 128                          # v-window columns (HP is always >= 128);
                                   # the windowed path contracts
                                   # [HT*V, WIN] @ [WIN, 5*VW] instead of 5x
@@ -144,6 +151,7 @@ def _apply_kernel(
     # the compare output reshapes by merging leading dims (mosaic-legal)
     v_ids = jax.lax.broadcasted_iota(jnp.int32, (1, 1, HP), 2)
     u_ids_win = jax.lax.broadcasted_iota(jnp.int32, (1, 1, WIN), 2)
+    u_ids_win2 = jax.lax.broadcasted_iota(jnp.int32, (1, 1, WIN2), 2)
     u_ids_full = jax.lax.broadcasted_iota(jnp.int32, (1, 1, W), 2)
     vw_ids = jax.lax.broadcasted_iota(jnp.int32, (1, 1, VW), 2)
     hp_ids_col = jax.lax.broadcasted_iota(jnp.int32, (HP, VW), 0)
@@ -277,22 +285,22 @@ def _apply_kernel(
                         )  # [HT*V, 1] bf16, exact for the same reason
                         samp[ch, pl.ds(off, HT)] = val.astype(jnp.float32).reshape(HT, V)
 
-                def samp_win(off, u0, v0, um_c, vm_c):
+                def samp_win(off, width, u0, u_ids, v0, um_c, vm_c):
                     # double-windowed path: one channel-stacked contraction
-                    # [HT*V, WIN] @ [WIN, 5*VW] after shrinking each
+                    # [HT*V, width] @ [width, 5*VW] after shrinking each
                     # channel's u-window to VW v-columns with a one-hot
                     # select matmul (exact — single nonzero addend per sum)
                     oh_u = (
-                        (u_ids_win == (um_c - u0)[:, :, None])
+                        (u_ids == (um_c - u0)[:, :, None])
                         .astype(jnp.bfloat16)
-                        .reshape(HT * V, WIN)
+                        .reshape(HT * V, width)
                     )
                     vsel = (hp_ids_col == v0 + vw_ids_row).astype(jnp.bfloat16)
                     parts = []
                     for ch in range(5):
                         win = img5_ref[
-                            pl.ds((img * 5 + ch) * W + u0, WIN), :
-                        ]  # [WIN, HP]
+                            pl.ds((img * 5 + ch) * W + u0, width), :
+                        ]  # [width, HP]
                         parts.append(
                             jnp.dot(
                                 win, vsel,
@@ -300,7 +308,51 @@ def _apply_kernel(
                                 precision=jax.lax.Precision.DEFAULT,
                             ).astype(jnp.bfloat16)
                         )
-                    win5 = jnp.concatenate(parts, axis=1)  # [WIN, 5*VW]
+                    win5 = jnp.concatenate(parts, axis=1)  # [width, 5*VW]
+                    rows5 = jnp.dot(
+                        oh_u, win5,
+                        preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.DEFAULT,
+                    ).astype(jnp.bfloat16)                 # [HT*V, 5*VW]
+                    oh_vw = (
+                        (vw_ids == (vm_c - v0)[:, :, None])
+                        .astype(jnp.bfloat16)
+                        .reshape(HT * V, VW)
+                    )
+                    for ch in range(5):
+                        val = jnp.sum(
+                            rows5[:, ch * VW : (ch + 1) * VW] * oh_vw,
+                            axis=1,
+                            keepdims=True,
+                        )
+                        samp[ch, pl.ds(off, HT)] = val.astype(jnp.float32).reshape(HT, V)
+
+                def samp_vwin(off, v0, um_c, vm_c):
+                    # v-window-only path (u spans too wide for WIN): shrink
+                    # each channel's full image to VW v-columns with the
+                    # one-hot v-select matmul, then ONE channel-stacked
+                    # full-width contraction [HT*V, W] @ [W, 5*VW] — half
+                    # the FLOPs of 5 separate [HT*V, W] @ [W, HP] passes.
+                    # This is the common case: slots allocate in sorted
+                    # packed-key batches (x fastest), so a chunk's blocks
+                    # form an x-strip — wide in u, narrow in v.
+                    oh_u = (
+                        (u_ids_full == um_c[:, :, None])
+                        .astype(jnp.bfloat16)
+                        .reshape(HT * V, W)
+                    )
+                    vsel = (hp_ids_col == v0 + vw_ids_row).astype(jnp.bfloat16)
+                    parts = []
+                    for ch in range(5):
+                        full = img5_ref[pl.ds((img * 5 + ch) * W, W), :]  # [W, HP]
+                        parts.append(
+                            jnp.dot(
+                                full, vsel,
+                                preferred_element_type=jnp.float32,
+                                precision=jax.lax.Precision.DEFAULT,
+                            ).astype(jnp.bfloat16)
+                        )
+                    win5 = jnp.concatenate(parts, axis=1)  # [W, 5*VW]
                     rows5 = jnp.dot(
                         oh_u, win5,
                         preferred_element_type=jnp.float32,
@@ -333,6 +385,8 @@ def _apply_kernel(
                         # even when W - WIN is not 8-aligned
                         u0w = jnp.clip(min_u & ~7, 0, (W - WIN) & ~7)
                         fits = max_u < u0w + WIN
+                        u0w2 = jnp.clip(min_u & ~7, 0, (W - WIN2) & ~7)
+                        fits2 = max_u < u0w2 + WIN2
                         min_v = jnp.min(jnp.where(vm_c >= 0, vm_c, HP))
                         max_v = jnp.max(vm_c)
                         v0w = jnp.clip(min_v, 0, HP - VW)
@@ -340,14 +394,31 @@ def _apply_kernel(
 
                         @pl.when(fits & fits_v)
                         def _():
-                            samp_win(off, pl.multiple_of(u0w, 8), v0w, um_c, vm_c)
+                            samp_win(off, WIN, pl.multiple_of(u0w, 8),
+                                     u_ids_win, v0w, um_c, vm_c)
+
+                        @pl.when(jnp.logical_not(fits) & fits2 & fits_v)
+                        def _():
+                            samp_win(off, WIN2, pl.multiple_of(u0w2, 8),
+                                     u_ids_win2, v0w, um_c, vm_c)
 
                         @pl.when(fits & jnp.logical_not(fits_v))
                         def _():
                             samp_chunk(off, WIN, pl.multiple_of(u0w, 8),
                                        u_ids_win, um_c, vm_c)
 
-                        @pl.when(jnp.logical_not(fits))
+                        @pl.when(jnp.logical_not(fits2) & fits_v)
+                        def _():
+                            samp_vwin(off, v0w, um_c, vm_c)
+
+                        @pl.when(jnp.logical_not(fits) & fits2
+                                 & jnp.logical_not(fits_v))
+                        def _():
+                            samp_chunk(off, WIN2, pl.multiple_of(u0w2, 8),
+                                       u_ids_win2, um_c, vm_c)
+
+                        @pl.when(jnp.logical_not(fits2)
+                                 & jnp.logical_not(fits_v))
                         def _():
                             samp_chunk(off, W, jnp.int32(0),
                                        u_ids_full, um_c, vm_c)

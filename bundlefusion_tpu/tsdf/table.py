@@ -238,26 +238,16 @@ def allocate_packed(
         hit = (blocked[bpos] == packed_raw) & (packed_raw != EMPTY_KEY)
         packed_raw = jnp.where(hit, EMPTY_KEY, packed_raw)
 
-    # Presence check by SORT-MERGE, not binary search: jnp.searchsorted
-    # lowers to ~17 sequential gather rounds (~10 ms at 37K queries on v5e,
-    # element gathers run at ~90M/s) while one fused sort of
-    # [table keys | queries] runs in well under a millisecond. After the
-    # ascending sort, the most recent table key at each position is the
-    # running max of table-masked values; a query is present iff it equals
-    # that running max.
-    aug = jnp.concatenate([table.keys, packed_raw])
-    order = jnp.argsort(aug)
-    s_keys = aug[order]
+    # Presence check by binary search on the (always-sorted) key table.
+    # History: with the pre-dedup candidate set (~37K queries) searchsorted's
+    # ~17 sequential gather rounds cost ~10 ms and a fused sort-merge of
+    # [table keys | queries] won; after run-dedup the query set is only
+    # ``compact`` (~2K) wide, where 17 x 2K element gathers (~0.4 ms) beat
+    # re-sorting the 131K+ key table every frame (~8 ms measured at the
+    # bench operating point).
     cap = table.capacity
-    is_table = order < cap
-    last_table = jax.lax.cummax(
-        jnp.where(is_table & (s_keys != EMPTY_KEY), s_keys, jnp.int32(-(2**31)))
-    )
-    present_sorted = (~is_table) & (s_keys == last_table)
-    q_pos = jnp.where(is_table, 0, order - cap)
-    present = jnp.zeros((M,), bool).at[
-        jnp.where(is_table, M, q_pos)
-    ].set(present_sorted, mode="drop")
+    qpos = jnp.clip(jnp.searchsorted(table.keys, packed_raw), 0, cap - 1)
+    present = (table.keys[qpos] == packed_raw) & (packed_raw != EMPTY_KEY)
     missing = ~present & (packed_raw != EMPTY_KEY)
     num_missing = jnp.sum(missing.astype(jnp.int32))
 

@@ -72,6 +72,7 @@ def main():
     for i in range(n_frames):
         eng.process_frame(seq["depth"][i], seq["color"][i])
     jax.block_until_ready((eng.local, eng.glob, eng.table))
+    eng._flush_pending()
     live = int(np.asarray(jnp.sum((eng.table.slot_geo[:, 3] > 0.5))))
     print(f"table live blocks: {live}", flush=True)
 
