@@ -80,6 +80,17 @@ def save_engine(eng, path: str):
     arrays["tm_int"] = intT
     arrays["tm_opt"] = optT
 
+    # host-paged TSDF blocks (streaming): the reference saves the FULL
+    # chunked volume incl. CPU-resident chunks (CUDASceneRepChunkGrid.h:
+    # 122-141); without these, save/load with streaming on loses the cold map
+    if getattr(eng, "host_blocks", None) is not None and len(eng.host_blocks):
+        hb = eng.host_blocks.blocks
+        hkeys = np.fromiter(hb.keys(), np.int64)
+        arrays["hb_keys"] = hkeys
+        arrays["hb_sdf"] = np.stack([hb[int(k)][0] for k in hkeys])
+        arrays["hb_weight"] = np.stack([hb[int(k)][1] for k in hkeys])
+        arrays["hb_color"] = np.stack([hb[int(k)][2] for k in hkeys])
+
     meta = {
         "version": FORMAT_VERSION,
         "tags": tags,
@@ -163,6 +174,12 @@ def load_engine(path: str, mesh=None):
     eng._window_base = meta.get("window_base", 0)
     eng._anchor_slot = meta.get("anchor_slot", 0)
     eng.kf_valid_dev = jnp.asarray(eng.keyframe_valid)
+
+    if "hb_keys" in data:
+        eng.host_blocks.insert(
+            data["hb_keys"], data["hb_sdf"], data["hb_weight"], data["hb_color"]
+        )
+        eng._refresh_blocked_dev()
 
     recs = []
     for i in range(len(data["tm_states"])):

@@ -168,7 +168,12 @@ def make_replicated_chunk_solver(
     n_dev = int(mesh.shape[axis])
     assert capacity % n_dev == 0, (capacity, n_dev)
     Cl = capacity // n_dev
-    P_local = -(-params.max_pairs // n_dev)
+    # per-shard pair capacity: a contiguous corr chunk can hold MORE distinct
+    # pairs than a 1/n share of the global budget (skewed corr counts); the
+    # true bound is the chunk's corr count, so min(max_pairs, Cl) guarantees
+    # no shard drops a pair the single-device solve (cap = max_pairs total)
+    # would keep
+    P_local = min(params.max_pairs, Cl)
     w_sqrt = jnp.sqrt(jnp.asarray(params.sparse_weight, jnp.float32))
     N = num_frames
 
@@ -221,7 +226,10 @@ def solve_sparse_sharded(
     """
     N = poses.shape[0]
     n_dev = int(np.prod([mesh.shape[a] for a in (axis,)]))
-    P_local = -(-params.max_pairs // n_dev)  # per-shard pair capacity
+    # per-shard pair capacity: bounded by the shard's corr count, not a 1/n
+    # share of the pair budget (a skewed chunk could exceed its share and
+    # silently drop pairs the single-device solve would keep)
+    P_local = min(params.max_pairs, corrs.capacity // n_dev)
     w_sqrt = jnp.sqrt(jnp.asarray(params.sparse_weight, jnp.float32))
 
     @partial(

@@ -359,8 +359,11 @@ class BundleFusion:
         # relocalization retry list (reference SIFTImageManager retry list +
         # Bundler::tryRevalidation, Bundler.cpp:306-352)
         self.retry_list: List[int] = []
+        # attempt counters are telemetry only — the reference's retry list
+        # is persistent and uncapped (SIFTImageManager.h:263-271): a lost
+        # keyframe stays in the queue, oldest-first, one attempt per submap,
+        # until it revalidates
         self.retry_attempts: dict = {}
-        self.max_retry_attempts = 10
         self.timing = TimingLog()
         self.lost_count = 0
         # pair-cap overflow accounting (write-only in round 2 — now
@@ -1344,14 +1347,55 @@ class BundleFusion:
         r = self.app.streaming_radius
         self.table = stream_in(self.table, self.host_blocks, campos, r, vs)
         self.table = stream_out(self.table, self.host_blocks, campos, r, vs)
-        cap = self.app.streaming_blocked_cap
+        self._refresh_blocked_dev()
+
+    # ------------------------------------------------------------------
+    def _stream_in_for_rows(self, rows):
+        """Page in every host block that a pending re-integration row's old
+        or new pose frustum could touch (conservative 8-corner test), then
+        refresh the device-side paged-key array the alloc path consults."""
+        from bundlefusion_tpu.tsdf.streaming import (
+            paged_keys_in_frustum,
+            stream_in_keys,
+        )
+
+        poses = []
+        for _f, mode, To, Tn in rows:
+            if mode in (1, 2):
+                poses.append(To)
+            if mode in (2, 3):
+                poses.append(Tn)
+        keys = paged_keys_in_frustum(
+            self.host_blocks,
+            poses,
+            self.intr_int,
+            self.tsdf_params,
+            self.app.integration_height,
+            self.app.integration_width,
+        )
+        if len(keys):
+            self.table = stream_in_keys(self.table, self.host_blocks, keys)
+            self._refresh_blocked_dev()
+
+    # ------------------------------------------------------------------
+    def _refresh_blocked_dev(self):
+        """Rebuild the sorted device-side paged-key array from the host
+        store. Grows (power-of-two doubling -> one recompile of the alloc
+        program per growth) rather than truncating: a dropped key would let
+        the alloc path re-allocate that block empty, forking it from the
+        host copy, and a later stream_in would overwrite the fork with the
+        stale host payload."""
+        cap = self._blocked_dev.shape[0]
+        n = len(self.host_blocks.blocks)
+        while n > cap:
+            cap *= 2
         arr = np.full((cap,), int(EMPTY_KEY), np.int32)
-        if self.host_blocks.blocks:
+        if n:
             ks = np.sort(
                 np.fromiter(self.host_blocks.blocks.keys(), np.int64).astype(
                     np.int32
                 )
-            )[:cap]
+            )
             arr[: len(ks)] = ks
         self._blocked_dev = jnp.asarray(arr)
 
@@ -1522,7 +1566,7 @@ class BundleFusion:
         # exactly like freshly-lost keyframes (SIFTImageManager retry list)
         for k in np.where(prev_kf_valid[: g + 1] & ~self.keyframe_valid[: g + 1])[0]:
             k = int(k)
-            if k not in self.retry_list and self.retry_attempts.get(k, 0) < self.max_retry_attempts:
+            if k not in self.retry_list:
                 self.retry_list.append(k)
         comp = pack[self._off_comp : self._off_ok].reshape(-1, 4, 4)
         comp_ok = pack[self._off_ok :] > 0.5
@@ -1555,14 +1599,12 @@ class BundleFusion:
         """One relocalization attempt per submap: re-match the oldest lost
         keyframe against all valid keyframes (``tryRevalidation``,
         Bundler.cpp:306-352). Success restores the keyframe and appends its
-        correspondences; failure re-queues up to ``max_retry_attempts``."""
+        correspondences; failure re-queues (persistent, uncapped — the
+        reference retries until revalidation succeeds)."""
         if not self.retry_list:
             return
         k = self.retry_list.pop(0)
-        attempts = self.retry_attempts.get(k, 0)
-        if attempts >= self.max_retry_attempts:
-            return
-        self.retry_attempts[k] = attempts + 1
+        self.retry_attempts[k] = self.retry_attempts.get(k, 0) + 1
         # temporarily mark the keyframe's stored features active for matching
         gk = self.glob.keys
         self.glob = self.glob._replace(
@@ -1644,6 +1686,14 @@ class BundleFusion:
         has_cur = store_slot is not None
         if not rows and not has_cur:
             return
+        if rows and self.app.streaming_enabled and len(self.host_blocks):
+            # stream-in-before-reintegrate: a de/re-integration over a paged
+            # region would silently under-subtract (the alloc-path blocked
+            # check drops those blocks). Pull every paged block any row's
+            # old or new frustum could touch back in first — the reference's
+            # chunk grid does the same before integrating
+            # (CUDASceneRepChunkGrid.h:142-210).
+            self._stream_in_for_rows(rows)
         R = 5
         stream_args = (self._blocked_dev,) if self.app.streaming_enabled else ()
         if not rows and has_cur:

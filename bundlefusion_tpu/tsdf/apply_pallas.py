@@ -385,8 +385,20 @@ def _apply_kernel(
                         # even when W - WIN is not 8-aligned
                         u0w = jnp.clip(min_u & ~7, 0, (W - WIN) & ~7)
                         fits = max_u < u0w + WIN
-                        u0w2 = jnp.clip(min_u & ~7, 0, (W - WIN2) & ~7)
-                        fits2 = max_u < u0w2 + WIN2
+                        # the WIN2 window only exists when the image is at
+                        # least WIN2 wide: (W - WIN2) & ~7 goes NEGATIVE for
+                        # narrower frames (e.g. the 80x60 streaming configs),
+                        # jnp.clip then returns the negative bound and the
+                        # branch would slice img5_ref at a negative row
+                        # offset into the adjacent channel plane. W is
+                        # static, so gate at trace time; fits2 = fits makes
+                        # the dispatch below collapse to the 4-way form.
+                        if W >= WIN2:
+                            u0w2 = jnp.clip(min_u & ~7, 0, (W - WIN2) & ~7)
+                            fits2 = max_u < u0w2 + WIN2
+                        else:
+                            u0w2 = u0w
+                            fits2 = fits
                         min_v = jnp.min(jnp.where(vm_c >= 0, vm_c, HP))
                         max_v = jnp.max(vm_c)
                         v0w = jnp.clip(min_v, 0, HP - VW)
@@ -397,25 +409,26 @@ def _apply_kernel(
                             samp_win(off, WIN, pl.multiple_of(u0w, 8),
                                      u_ids_win, v0w, um_c, vm_c)
 
-                        @pl.when(jnp.logical_not(fits) & fits2 & fits_v)
-                        def _():
-                            samp_win(off, WIN2, pl.multiple_of(u0w2, 8),
-                                     u_ids_win2, v0w, um_c, vm_c)
-
                         @pl.when(fits & jnp.logical_not(fits_v))
                         def _():
                             samp_chunk(off, WIN, pl.multiple_of(u0w, 8),
                                        u_ids_win, um_c, vm_c)
 
+                        if W >= WIN2:
+                            @pl.when(jnp.logical_not(fits) & fits2 & fits_v)
+                            def _():
+                                samp_win(off, WIN2, pl.multiple_of(u0w2, 8),
+                                         u_ids_win2, v0w, um_c, vm_c)
+
+                            @pl.when(jnp.logical_not(fits) & fits2
+                                     & jnp.logical_not(fits_v))
+                            def _():
+                                samp_chunk(off, WIN2, pl.multiple_of(u0w2, 8),
+                                           u_ids_win2, um_c, vm_c)
+
                         @pl.when(jnp.logical_not(fits2) & fits_v)
                         def _():
                             samp_vwin(off, v0w, um_c, vm_c)
-
-                        @pl.when(jnp.logical_not(fits) & fits2
-                                 & jnp.logical_not(fits_v))
-                        def _():
-                            samp_chunk(off, WIN2, pl.multiple_of(u0w2, 8),
-                                       u_ids_win2, um_c, vm_c)
 
                         @pl.when(jnp.logical_not(fits2)
                                  & jnp.logical_not(fits_v))

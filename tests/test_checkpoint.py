@@ -81,3 +81,47 @@ def test_save_load_continue_identical(tmp_path):
 
     rmse, nv = evaluate_ate_rmse(traj_c, seq["poses"][: len(traj_c)])
     assert nv == n and rmse < 0.06
+
+
+def test_checkpoint_preserves_host_paged_blocks(tmp_path):
+    """Save/load with streaming on must round-trip the host block store
+    (the reference saves the full chunked volume incl. CPU-resident chunks,
+    CUDASceneRepChunkGrid.h:122-141)."""
+    from bundlefusion_tpu.io.checkpoint import load_engine, save_engine
+    from tests.test_streaming_engine import (
+        _small_engine,
+        _table_payload_by_key,
+    )
+
+    eng, intr = _small_engine(streaming=True)
+    n = 9
+    seq = make_sequence(n, intr=intr)
+    for i in range(n):
+        eng.process_frame(seq["depth"][i], seq["color"][i])
+    eng._flush_pending()
+    far = np.eye(4, dtype=np.float32)
+    far[:3, 3] = [50.0, 0, 0]
+    eng.sift_world.append(far)
+    eng._stream_update()
+    assert len(eng.host_blocks) > 0
+
+    path = str(tmp_path / "ckpt_stream.npz")
+    save_engine(eng, path)
+    eng_b = load_engine(path)
+    assert len(eng_b.host_blocks) == len(eng.host_blocks)
+    assert np.array_equal(
+        np.asarray(eng_b._blocked_dev), np.asarray(eng._blocked_dev)
+    )
+
+    # stream everything back in on both: identical volumes
+    eng.sift_world[-1] = np.asarray(seq["poses"][0])
+    eng_b.sift_world.append(np.asarray(seq["poses"][0]))
+    eng._stream_update()
+    eng_b._stream_update()
+    assert len(eng.host_blocks) == 0 and len(eng_b.host_blocks) == 0
+    pa = _table_payload_by_key(eng.table)
+    pb = _table_payload_by_key(eng_b.table)
+    assert set(pa.keys()) == set(pb.keys())
+    for k in pa:
+        np.testing.assert_array_equal(pa[k][0], pb[k][0])
+        np.testing.assert_array_equal(pa[k][1], pb[k][1])

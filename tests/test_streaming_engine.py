@@ -17,7 +17,7 @@ from bundlefusion_tpu.pipeline.online import BundleFusion
 from bundlefusion_tpu.tsdf.table import EMPTY_KEY, allocate_packed, check_invariants, create_table
 
 
-def _small_engine(streaming: bool):
+def _small_engine(streaming: bool, top_n_active: int = 0):
     intr = default_intrinsics(160, 120)
     app = AppConfig(
         integration_width=80, integration_height=60, sdf_voxel_size=0.03,
@@ -25,7 +25,7 @@ def _small_engine(streaming: bool):
         visible_blocks_cap=8192,
         streaming_enabled=streaming, streaming_radius=6.0, streaming_every=4,
         streaming_blocked_cap=8192,
-        top_n_active=0,  # no re-integration (reference streaming regime)
+        top_n_active=top_n_active,  # 0 = reference streaming regime
     )
     bundling = BundlingConfig(
         width_sift=160, height_sift=120, submap_size=4,
@@ -93,6 +93,71 @@ def test_streaming_pages_out_and_back():
     live_back = int(np.asarray(
         jnp.sum((eng.table.keys != EMPTY_KEY).astype(jnp.int32))))
     assert live_back > live_mid
+    inv = check_invariants(eng.table)
+    assert all(int(v) == 0 for v in inv.values()), inv
+
+
+def _table_payload_by_key(table):
+    keys = np.asarray(table.keys)
+    slots = np.asarray(table.slots)
+    occ = keys != int(EMPTY_KEY)
+    sdf = np.asarray(table.sdf)
+    w = np.asarray(table.weight)
+    return {
+        int(k): (sdf[s], w[s])
+        for k, s in zip(keys[occ], slots[occ])
+    }
+
+
+def test_reintegration_over_paged_region_streams_in_first():
+    """De/re-integration over a paged region must page the blocks back in
+    first (``CUDASceneRepChunkGrid.h:142-210`` + ``isSDFBlockStreamedOut``):
+    a streaming run that de-integrates frame 0 while its blocks sit in host
+    RAM must end with the SAME volume as a never-paged run — without the
+    stream-in, the paged blocks keep frame 0's contribution
+    (under-subtraction)."""
+    eng, intr = _small_engine(streaming=True, top_n_active=4)
+    eng2, _ = _small_engine(streaming=False, top_n_active=4)
+    n = 9
+    seq = make_sequence(n, intr=intr)
+    for i in range(n):
+        eng.process_frame(seq["depth"][i], seq["color"][i])
+        eng2.process_frame(seq["depth"][i], seq["color"][i])
+    eng._flush_pending()
+    eng2._flush_pending()
+
+    # page out EVERYTHING in the streaming engine
+    far = np.eye(4, dtype=np.float32)
+    far[:3, 3] = [50.0, 0, 0]
+    eng.sift_world.append(far)
+    eng._stream_update()
+    assert len(eng.host_blocks) > 0
+    eng.sift_world[-1] = np.asarray(seq["poses"][0])
+
+    # force de-integration of frame 0 in BOTH engines (invalidate it), then
+    # drain one re-integration dispatch each
+    for e in (eng, eng2):
+        poses = np.stack(e.complete_traj)
+        valid = np.isfinite(poses).all(axis=(1, 2))
+        valid[0] = False
+        e.traj_manager.update_optimized_transforms(poses, valid)
+        e._tsdf_dispatch()
+    import jax
+
+    jax.block_until_ready(eng.table)
+
+    # pull the remaining cold blocks back so the full volumes are comparable
+    eng._stream_update()
+    assert len(eng.host_blocks) == 0
+
+    pa = _table_payload_by_key(eng.table)
+    pb = _table_payload_by_key(eng2.table)
+    assert set(pa.keys()) == set(pb.keys())
+    for k in pa:
+        np.testing.assert_allclose(pa[k][1], pb[k][1], rtol=0, atol=0,
+                                   err_msg=f"weight mismatch block {k}")
+        np.testing.assert_allclose(pa[k][0], pb[k][0], rtol=0, atol=1e-6,
+                                   err_msg=f"sdf mismatch block {k}")
     inv = check_invariants(eng.table)
     assert all(int(v) == 0 for v in inv.values()), inv
 
