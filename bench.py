@@ -45,6 +45,7 @@ def main():
     if on_tpu:
         # reference operating point
         n_frames = 72
+        profile_frames = 16
         intr = default_intrinsics(640, 480)
         app = AppConfig(
             hash_num_sdf_blocks=131072,
@@ -84,8 +85,9 @@ def main():
         )
         max_keyframes = 8
         warmup_frames = 5
+        profile_frames = 4
 
-    seq = make_sequence(n_frames, intr=intr)
+    seq = make_sequence(n_frames + profile_frames, intr=intr)
     eng = BundleFusion(intr, app, bundling, sift_cfg=sift_cfg, max_keyframes=max_keyframes)
 
     # compile + execute every program on throwaway state, OUTSIDE the timed
@@ -122,6 +124,33 @@ def main():
     timed = n_frames - warmup_frames
     fps = timed / elapsed
 
+    # device-time attribution (CUDATimer analog): replay the next frames
+    # SERIALIZED — block_until_ready between stage dispatches — so each
+    # stage's device execution time is measured honestly. Runs AFTER the
+    # timed window so it cannot perturb the fps number. Each serialized
+    # stage pays one dispatch+sync round trip through the device tunnel;
+    # measure that floor with a null program and subtract it.
+    import jax.numpy as jnp
+
+    null_fn = jax.jit(lambda x: x + 1.0)
+    x0 = jnp.zeros((8,), jnp.float32)
+    null_fn(x0).block_until_ready()
+    rtts = []
+    for _ in range(30):
+        tn = time.perf_counter()
+        null_fn(x0).block_until_ready()
+        rtts.append(time.perf_counter() - tn)
+    rtt_ms = 1000.0 * sorted(rtts)[len(rtts) // 2]
+
+    eng.profile_every = 1
+    for i in range(n_frames, n_frames + profile_frames):
+        # pre-upload so the host->device frame transfer (~15 ms through the
+        # tunnel) is not charged to dev_frame_step
+        h = eng.upload_frame(seq["depth"][i], seq["color"][i])
+        jax.block_until_ready(h)
+        eng.process_frame(h)
+    eng.profile_every = 0
+
     eng.finish(extra_solves=2)
     traj = eng.trajectory()
     rmse, n_valid = evaluate_ate_rmse(traj, seq["poses"][: len(traj)])
@@ -131,6 +160,18 @@ def main():
         for k, v in eng.timing.averages().items()
         if k.startswith("time_")
     }
+    # honest per-stage DEVICE times from the serialized replay frames
+    # (tunnel RTT subtracted); dev_submap amortizes over the submap cadence
+    dev_avg = {
+        k: max(v - rtt_ms / 1000.0, 0.0)
+        for k, v in eng.device_timing.averages().items()
+    }
+    sub_len = eng.S - 1
+    stage_dev_ms = {k: round(1000.0 * v, 2) for k, v in dev_avg.items()}
+    dev_frame_ms = sum(
+        v * (1.0 / sub_len if k == "dev_submap" else 1.0)
+        for k, v in dev_avg.items()
+    ) * 1000.0
     out = {
         "metric": "frames_per_second_per_chip",
         "value": round(fps, 3),
@@ -138,12 +179,15 @@ def main():
         "vs_baseline": round(fps / 30.0, 4),
         "ate_rmse_cm": round(rmse * 100, 3),
         "valid_frames": int(n_valid),
-        "total_frames": n_frames,
+        "total_frames": n_frames + profile_frames,
         "platform": platform,
         "ms_per_frame": round(1000.0 * elapsed / timed, 2),
         "compile_s": round(compile_s, 1),
         "cache_entries": [cache_before, _cache_entries()],
         "stage_ms": stage_ms,
+        "stage_dev_ms": stage_dev_ms,
+        "dev_frame_ms": round(dev_frame_ms, 2),
+        "tunnel_rtt_ms": round(rtt_ms, 2),
         # silent-cap accounting: must stay 0 for an exact global solve
         "pairs_dropped": eng.pairs_dropped_total,
     }

@@ -365,6 +365,13 @@ class BundleFusion:
         # until it revalidates
         self.retry_attempts: dict = {}
         self.timing = TimingLog()
+        # device-time attribution (CUDATimer analog, SiftGPU/CUDATimer.h:
+        # 1-121): every ``profile_every``-th frame is replayed serialized —
+        # block_until_ready between stage dispatches — recording honest
+        # per-program device times into ``device_timing``. The async
+        # steady-state TimingLog above measures enqueue cost only.
+        self.profile_every = 0
+        self.device_timing = TimingLog()
         self.lost_count = 0
         # pair-cap overflow accounting (write-only in round 2 — now
         # surfaced per retire and reported by the bench)
@@ -1258,6 +1265,12 @@ class BundleFusion:
         f = self.frame_idx
         ft = self.timing.new_frame(f)
         S = self.S
+        # serialized device-time replay frame (CUDATimer analog): drain all
+        # in-flight work first so each stage's block_until_ready below times
+        # exactly that stage's device execution
+        prof = self.profile_every > 0 and f > 0 and f % self.profile_every == 0
+        if prof:
+            jax.block_until_ready((self.local, self.glob, self.table))
 
         # submap slot (with one-frame overlap): frame k*(S-1) is slot S-1 of
         # submap k-1 AND slot 0 of submap k
@@ -1286,29 +1299,48 @@ class BundleFusion:
                 depth_dev = jnp.asarray(depth_u16)
                 color_dev = jnp.asarray(color_u8_in)
             store_slot = self._store_slot(f)
-            self.local, self.store, T_world_dev, valid_dev = self._frame_step(
-                depth_dev,
-                color_dev,
-                self.local,
-                self.store,
-                self.submap_base,
-                self._i32(cur_slot),
-                self._i32(store_slot),
-            )
+            if prof:
+                with self.device_timing.stage("dev_frame_step"):
+                    self.local, self.store, T_world_dev, valid_dev = self._frame_step(
+                        depth_dev, color_dev, self.local, self.store,
+                        self.submap_base, self._i32(cur_slot),
+                        self._i32(store_slot),
+                    )
+                    jax.block_until_ready((self.local, T_world_dev))
+            else:
+                self.local, self.store, T_world_dev, valid_dev = self._frame_step(
+                    depth_dev,
+                    color_dev,
+                    self.local,
+                    self.store,
+                    self.submap_base,
+                    self._i32(cur_slot),
+                    self._i32(store_slot),
+                )
 
         # ---- fused TSDF dispatch: re-integration budget + current frame
         # fuse in ONE kernel sweep (reference order: reintegrate() then
         # integrate(), DepthSensing.cpp:854-902 + :1047) ----
         with self.timing.stage("time_re_integrate", ft):
             if self.app.integration_enabled:
-                self._tsdf_dispatch(store_slot, T_world_dev, valid_dev)
+                if prof:
+                    with self.device_timing.stage("dev_tsdf"):
+                        self._tsdf_dispatch(store_slot, T_world_dev, valid_dev)
+                        jax.block_until_ready(self.table)
+                else:
+                    self._tsdf_dispatch(store_slot, T_world_dev, valid_dev)
 
         # ---- per-frame visualization: raycast the TSDF at the current pose
         # (the reference renders every frame, DepthSensing.cpp:1066-1068);
         # the result stays on device, fetched lazily via ``last_render`` ----
         if self.render_every and f % self.render_every == 0:
             with self.timing.stage("time_visualize", ft):
-                self.last_render = self._render(self.table, T_world_dev)
+                if prof:
+                    with self.device_timing.stage("dev_render"):
+                        self.last_render = self._render(self.table, T_world_dev)
+                        jax.block_until_ready(self.last_render)
+                else:
+                    self.last_render = self._render(self.table, T_world_dev)
 
         # ---- streaming sweep (opt-in): page far blocks to the host, pull
         # returning ones back, refresh the paged-key array the alloc skips
@@ -1325,7 +1357,13 @@ class BundleFusion:
         # only; results retired on a later frame) ----
         if is_boundary:
             with self.timing.stage("time_submap_step", ft):
-                dispatched = self._dispatch_submap(T_world_dev)
+                if prof:
+                    with self.device_timing.stage("dev_submap"):
+                        dispatched = self._dispatch_submap(T_world_dev)
+                        if self._pending_submaps:
+                            jax.block_until_ready(self._pending_submaps[-1][1])
+                else:
+                    dispatched = self._dispatch_submap(T_world_dev)
             self._window_base = f
             self._anchor_slot = 0 if dispatched else sub_len
 

@@ -40,7 +40,8 @@ class RaycastParams:
     ray_increment_factor: float = 0.8     # step = factor * truncation
     depth_min: float = 0.1
     depth_max: float = 4.0
-    grid_dim: int = 96                    # local grid blocks per axis
+    grid_dim: int = 0                     # local grid blocks per axis;
+                                          # 0 = auto-size to the frustum
     refine_iters: int = 6                 # bisection refinement steps
     use_color: bool = True
 
@@ -147,11 +148,30 @@ def raycast(
     [H, W, 3] camera-space, ``normals`` [H, W, 3] camera-space (nan invalid),
     ``color`` [H, W, 3].
     """
+    import math
+
     H, W = intr.height, intr.width
     voxel_size = tsdf_params.voxel_size
-    grid_dim = params.grid_dim
     cam_pos = cam_to_world[:3, 3]
-    grid, origin = build_local_grid(table, cam_pos, voxel_size, grid_dim)
+    # The grid is centered at the view-frustum MIDPOINT (not the camera) and
+    # auto-sized so the whole frustum + truncation margin fits: the old
+    # camera-centered fixed grid silently dropped geometry farther than
+    # half its span, so offline renders of large scenes were incomplete.
+    # (The reference raycasts any allocated region via interval splatting,
+    # CUDARayCastSDF.cu:101-190 — no such bound.) All inputs are static, so
+    # the size is resolved at trace time.
+    grid_dim = params.grid_dim
+    if grid_dim == 0:
+        xm = max(intr.cx, intr.width - intr.cx) / intr.fx * params.depth_max
+        ym = max(intr.cy, intr.height - intr.cy) / intr.fy * params.depth_max
+        zh = 0.5 * (params.depth_max - params.depth_min)
+        r = math.sqrt(xm * xm + ym * ym + zh * zh) + tsdf_params.truncation
+        be = BLOCK_SIZE * voxel_size
+        grid_dim = 2 * (int(math.ceil(r / be)) + 1)
+    center = cam_pos + cam_to_world[:3, 2] * (
+        0.5 * (params.depth_min + params.depth_max)
+    )
+    grid, origin = build_local_grid(table, center, voxel_size, grid_dim)
 
     v = jnp.broadcast_to(jnp.arange(H, dtype=jnp.float32)[:, None], (H, W))
     u = jnp.broadcast_to(jnp.arange(W, dtype=jnp.float32)[None, :], (H, W))
@@ -160,8 +180,6 @@ def raycast(
     )
     ray_norm = jnp.linalg.norm(dirs_cam, axis=-1)
     dirs_world = dirs_cam @ cam_to_world[:3, :3].T
-
-    import math
 
     step = params.ray_increment_factor * tsdf_params.truncation
     n_steps = int(math.ceil((params.depth_max - params.depth_min) / step)) + 1

@@ -143,12 +143,17 @@ def main():
 
     report = {}
 
-    def add(name, jfn, args, n=20):
-        ms, out = time_it(lambda: jfn(*args), n=n)
-        flops, bytes_ = cost_of(jfn, *args)
+    def add(name, fn, cost_fn_args, n=20, amortize=None):
+        """Measure fn (median of n) and XLA cost; report EXEC time with the
+        dispatch+sync tunnel RTT (null_ms) subtracted — raw wall ms kept as
+        raw_ms. All roofline ratios use exec time."""
+        ms_raw, out = time_it(fn, n=n)
+        ms = max(ms_raw - null_ms, 0.05)
+        flops, bytes_ = cost_of(*cost_fn_args)
         sol_s = max(flops / peaks["flops"], bytes_ / peaks["bw"])
         report[name] = {
             "ms": round(ms, 3),
+            "raw_ms": round(ms_raw, 3),
             "gflops": round(flops / 1e9, 3),
             "mbytes": round(bytes_ / 1e6, 3),
             "achieved_gflops_s": round(flops / ms / 1e6, 2) if ms else 0,
@@ -156,7 +161,10 @@ def main():
             "sol_ms": round(sol_s * 1e3, 3),
             "frac_of_sol": round(sol_s * 1e3 / ms, 4) if ms else 0,
         }
-        print(f"{name:14s} {ms:8.3f} ms  sol={sol_s*1e3:7.3f} ms  "
+        if amortize:
+            report[name]["amortized_ms_per_frame"] = round(ms / amortize, 3)
+        print(f"{name:14s} {ms:8.3f} ms (raw {ms_raw:7.3f})  "
+              f"sol={sol_s*1e3:7.3f} ms  "
               f"({100*sol_s*1e3/max(ms,1e-9):5.1f}% of light)  "
               f"{flops/1e9:8.2f} GF  {bytes_/1e6:8.1f} MB", flush=True)
         return out
@@ -171,23 +179,10 @@ def main():
         eng.local, eng.store = out[0], out[1]
         return out
 
-    ms, out = time_it(fs)
-    flops, bytes_ = cost_of(
+    out = add("frame_step", fs, (
         eng._frame_step, depth_dev, color_dev, eng.local, eng.store,
         eng.submap_base, eng._i32(cur_slot), eng._i32(store_slot),
-    )
-    sol_s = max(flops / peaks["flops"], bytes_ / peaks["bw"])
-    report["frame_step"] = {
-        "ms": round(ms, 3), "gflops": round(flops / 1e9, 3),
-        "mbytes": round(bytes_ / 1e6, 3),
-        "achieved_gflops_s": round(flops / ms / 1e6, 2),
-        "achieved_gb_s": round(bytes_ / ms / 1e6, 2),
-        "sol_ms": round(sol_s * 1e3, 3),
-        "frac_of_sol": round(sol_s * 1e3 / ms, 4),
-    }
-    print(f"{'frame_step':14s} {ms:8.3f} ms  sol={sol_s*1e3:7.3f} ms  "
-          f"({100*sol_s*1e3/max(ms,1e-9):5.1f}% of light)  "
-          f"{flops/1e9:8.2f} GF  {bytes_/1e6:8.1f} MB", flush=True)
+    ))
     T_dev, valid_dev = out[2], out[3]
 
     # tsdf_fast (table donated; feed back)
@@ -197,22 +192,10 @@ def main():
         )
         return eng.table
 
-    ms, _ = time_it(tf)
-    flops, bytes_ = cost_of(
+    add("tsdf_fast", tf, (
         eng._tsdf_fast, eng.table, eng.store, eng._i32(store_slot), T_dev,
         valid_dev,
-    )
-    sol_s = max(flops / peaks["flops"], bytes_ / peaks["bw"])
-    report["tsdf_fast"] = {
-        "ms": round(ms, 3), "gflops": round(flops / 1e9, 3),
-        "mbytes": round(bytes_ / 1e6, 3),
-        "achieved_gflops_s": round(flops / ms / 1e6, 2),
-        "achieved_gb_s": round(bytes_ / ms / 1e6, 2),
-        "sol_ms": round(sol_s * 1e3, 3), "frac_of_sol": round(sol_s * 1e3 / ms, 4),
-    }
-    print(f"{'tsdf_fast':14s} {ms:8.3f} ms  sol={sol_s*1e3:7.3f} ms  "
-          f"({100*sol_s*1e3/max(ms,1e-9):5.1f}% of light)  "
-          f"{flops/1e9:8.2f} GF  {bytes_/1e6:8.1f} MB", flush=True)
+    ))
 
     # tsdf_rows (R=5 re-integration rows + current frame)
     R = 5
@@ -234,40 +217,14 @@ def main():
         )
         return eng.table
 
-    ms, _ = time_it(tr)
-    flops, bytes_ = cost_of(
+    add("tsdf_rows", tr, (
         eng._tsdf_rows, eng.table, eng.store, packed_dev,
         eng._i32(store_slot), T_dev, valid_dev,
-    )
-    sol_s = max(flops / peaks["flops"], bytes_ / peaks["bw"])
-    report["tsdf_rows"] = {
-        "ms": round(ms, 3), "gflops": round(flops / 1e9, 3),
-        "mbytes": round(bytes_ / 1e6, 3),
-        "achieved_gflops_s": round(flops / ms / 1e6, 2),
-        "achieved_gb_s": round(bytes_ / ms / 1e6, 2),
-        "sol_ms": round(sol_s * 1e3, 3), "frac_of_sol": round(sol_s * 1e3 / ms, 4),
-    }
-    print(f"{'tsdf_rows':14s} {ms:8.3f} ms  sol={sol_s*1e3:7.3f} ms  "
-          f"({100*sol_s*1e3/max(ms,1e-9):5.1f}% of light)  "
-          f"{flops/1e9:8.2f} GF  {bytes_/1e6:8.1f} MB", flush=True)
+    ))
 
     # render (splat)
-    def rd():
-        return eng._render(eng.table, T_dev)
-
-    ms, _ = time_it(rd)
-    flops, bytes_ = cost_of(eng._render, eng.table, T_dev)
-    sol_s = max(flops / peaks["flops"], bytes_ / peaks["bw"])
-    report["render"] = {
-        "ms": round(ms, 3), "gflops": round(flops / 1e9, 3),
-        "mbytes": round(bytes_ / 1e6, 3),
-        "achieved_gflops_s": round(flops / ms / 1e6, 2),
-        "achieved_gb_s": round(bytes_ / ms / 1e6, 2),
-        "sol_ms": round(sol_s * 1e3, 3), "frac_of_sol": round(sol_s * 1e3 / ms, 4),
-    }
-    print(f"{'render':14s} {ms:8.3f} ms  sol={sol_s*1e3:7.3f} ms  "
-          f"({100*sol_s*1e3/max(ms,1e-9):5.1f}% of light)  "
-          f"{flops/1e9:8.2f} GF  {bytes_/1e6:8.1f} MB", flush=True)
+    add("render", lambda: eng._render(eng.table, T_dev),
+        (eng._render, eng.table, T_dev))
 
     # submap_step (donates local/glob; feed back, g fixed)
     def ss():
@@ -278,25 +235,12 @@ def main():
         eng.local, eng.glob = out[0], out[1]
         return out
 
-    ms, out = time_it(ss, n=8)
-    flops, bytes_ = cost_of(
+    add("submap_step", ss, (
         eng._submap_step, eng.local, eng.glob, eng.kf_valid_dev,
         eng._i32(g), eng.submap_base, T_dev,
-    )
-    sol_s = max(flops / peaks["flops"], bytes_ / peaks["bw"])
-    report["submap_step"] = {
-        "ms": round(ms, 3), "gflops": round(flops / 1e9, 3),
-        "mbytes": round(bytes_ / 1e6, 3),
-        "achieved_gflops_s": round(flops / ms / 1e6, 2),
-        "achieved_gb_s": round(bytes_ / ms / 1e6, 2),
-        "sol_ms": round(sol_s * 1e3, 3), "frac_of_sol": round(sol_s * 1e3 / ms, 4),
-        "amortized_ms_per_frame": round(ms / sub_len, 3),
-    }
-    print(f"{'submap_step':14s} {ms:8.3f} ms  sol={sol_s*1e3:7.3f} ms  "
-          f"({100*sol_s*1e3/max(ms,1e-9):5.1f}% of light)  "
-          f"{flops/1e9:8.2f} GF  {bytes_/1e6:8.1f} MB", flush=True)
+    ), n=8, amortize=sub_len)
 
-    # per-frame accounting
+    # per-frame accounting (exec times; RTT pipelines away in the frame loop)
     per_frame = (
         report["frame_step"]["ms"] + report["tsdf_fast"]["ms"]
         + report["render"]["ms"] + report["submap_step"]["ms"] / sub_len
@@ -309,8 +253,8 @@ def main():
         "per_frame_ms_estimate": round(per_frame, 2),
         "note": "per_frame = frame_step + tsdf_fast + render + submap/sub_len"
                 " (tsdf_rows replaces tsdf_fast only on re-integration"
-                " frames); each ms includes ~null_ms of dispatch+sync tunnel"
-                " latency that pipelines away in the real frame loop",
+                " frames); ms = raw_ms - null_ms (the dispatch+sync tunnel"
+                " RTT, which pipelines away in the real frame loop)",
     }
     worst = min(
         (k for k in report if not k.startswith("_")),

@@ -125,3 +125,29 @@ def test_deintegrate_then_gc_empties(frame0):
     t = garbage_collect(t)
     assert int(num_occupied(t)) == 0
     assert all(v == 0 for v in check_invariants(t).values())
+
+
+def test_raycast_reaches_far_geometry():
+    """The offline raycaster must render ANY allocated region within the
+    depth range, like the reference's interval splatting
+    (CUDARayCastSDF.cu:101-190): the local block grid auto-sizes to the
+    frustum, so a wall 7 m out (far beyond the old camera-centered 64-96
+    block span at this voxel size) is still hit."""
+    far_params = TsdfParams(
+        voxel_size=0.04, truncation=0.12, truncation_scale=0.02,
+        depth_max=10.0, max_integration_distance=10.0,
+    )
+    d = jnp.full((H, W), 7.0, jnp.float32)
+    c = jnp.full((H, W, 3), 0.5, jnp.float32)
+    t = create_table(CAP, NBLOCKS)
+    t = integrate(t, d, c, INTR, jnp.eye(4), far_params, cap=VIS_CAP)
+    assert int(num_occupied(t)) > 50
+    out = raycast(
+        t, INTR, jnp.eye(4), far_params,
+        RaycastParams(depth_min=0.1, depth_max=9.0),
+    )
+    d_rc = np.asarray(out["depth"])
+    ctr = d_rc[H // 2 - 5 : H // 2 + 5, W // 2 - 5 : W // 2 + 5]
+    assert np.isfinite(ctr).mean() > 0.9, np.isfinite(ctr).mean()
+    err = np.abs(ctr[np.isfinite(ctr)] - 7.0)
+    assert np.median(err) < 2 * far_params.voxel_size, np.median(err)
