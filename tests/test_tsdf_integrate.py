@@ -134,20 +134,27 @@ def test_raycast_reaches_far_geometry():
     frustum, so a wall 7 m out (far beyond the old camera-centered 64-96
     block span at this voxel size) is still hit."""
     far_params = TsdfParams(
-        voxel_size=0.04, truncation=0.12, truncation_scale=0.02,
+        voxel_size=0.01, truncation=0.06, truncation_scale=0.02,
         depth_max=10.0, max_integration_distance=10.0,
     )
-    d = jnp.full((H, W), 7.0, jnp.float32)
-    c = jnp.full((H, W, 3), 0.5, jnp.float32)
+    # wall patch at 7 m: with 1 cm voxels (8 cm blocks) the OLD fixed
+    # 96-block camera-centered grid spanned only +-3.84 m and missed it.
+    # 320x240 keeps the 7 m pixel footprint (~2.5 cm) below the block size
+    # so the alloc DDA covers the patch densely.
+    wf, hf = 320, 240
+    intr_f = default_intrinsics(wf, hf)
+    d = jnp.full((hf, wf), jnp.nan, jnp.float32)
+    d = d.at[hf // 2 - 20 : hf // 2 + 20, wf // 2 - 20 : wf // 2 + 20].set(7.0)
+    c = jnp.full((hf, wf, 3), 0.5, jnp.float32)
     t = create_table(CAP, NBLOCKS)
-    t = integrate(t, d, c, INTR, jnp.eye(4), far_params, cap=VIS_CAP)
-    assert int(num_occupied(t)) > 50
+    t = integrate(t, d, c, intr_f, jnp.eye(4), far_params, cap=VIS_CAP)
+    assert int(num_occupied(t)) > 100
     out = raycast(
-        t, INTR, jnp.eye(4), far_params,
+        t, intr_f, jnp.eye(4), far_params,
         RaycastParams(depth_min=0.1, depth_max=9.0),
     )
     d_rc = np.asarray(out["depth"])
-    ctr = d_rc[H // 2 - 5 : H // 2 + 5, W // 2 - 5 : W // 2 + 5]
-    assert np.isfinite(ctr).mean() > 0.9, np.isfinite(ctr).mean()
+    ctr = d_rc[hf // 2 - 15 : hf // 2 + 15, wf // 2 - 15 : wf // 2 + 15]
+    assert np.isfinite(ctr).mean() > 0.5, np.isfinite(ctr).mean()
     err = np.abs(ctr[np.isfinite(ctr)] - 7.0)
-    assert np.median(err) < 2 * far_params.voxel_size, np.median(err)
+    assert np.median(err) < 3 * far_params.voxel_size, np.median(err)
