@@ -80,9 +80,10 @@ def scene_color(scene: Scene, p):
     obj = jnp.argmin(dists, -1)
     n_obj = dists.shape[-1]
     hues = jnp.linspace(0.05, 0.95, n_obj)
-    base = jnp.stack(
-        [hues[obj], 0.5 + 0.5 * jnp.cos(6.28 * hues[obj]), 1.0 - hues[obj]], -1
-    )
+    # take, not hues[obj]: gathers with multi-dim index arrays can poison
+    # the dev-tunnel's h2d path (see ops/sift.py _bilinear_flat)
+    hue = jnp.take(hues, obj.reshape(-1), mode="clip").reshape(obj.shape)
+    base = jnp.stack([hue, 0.5 + 0.5 * jnp.cos(6.28 * hue), 1.0 - hue], -1)
     # high-frequency checker/wave texture for feature points
     tex = (
         0.5
@@ -295,3 +296,55 @@ def make_sequence(
         "poses": poses,
         "intrinsics": intr,
     }
+
+
+def multiloop_trajectory(
+    n_frames: int,
+    n_loops: int = 3,
+    radius: float = 0.55,
+    seed: int = 0,
+    odom_noise: float = 0.0,
+):
+    """Several out-and-back excursions, each returning to (nearly) the
+    start — MULTIPLE real loop closures over a long sequence (the paper's
+    apt-scale scans revisit previously mapped regions repeatedly).
+
+    Each loop sweeps a different azimuth sector so excursions map
+    different parts of the scene but share the common start view (the
+    loop-closure anchor). Returns [N, 4, 4] cam-to-world float32.
+    """
+    rng = np.random.default_rng(seed)
+    poses = []
+    per = n_frames / float(n_loops)
+    for i in range(n_frames):
+        loop = min(int(i / per), n_loops - 1)
+        s = (i - loop * per) / max(per - 1.0, 1.0)
+        s = min(max(s, 0.0), 1.0)
+        a = np.pi / 2.0 * np.sin(np.pi * s) ** 2
+        # alternate direction per loop + a small per-loop tilt
+        sign = 1.0 if loop % 2 == 0 else -1.0
+        a = sign * a
+        lift = 0.1 * loop
+        eye = np.array(
+            [
+                radius * np.sin(a),
+                0.12 * np.sin(4.0 * np.pi * s) + lift * np.sin(np.pi * s) ** 2,
+                -0.35 + 0.2 * (1.0 - np.cos(a)),
+            ],
+            np.float64,
+        )
+        if odom_noise > 0:
+            eye = eye + rng.normal(scale=odom_noise, size=3)
+        target = np.array([0.0, 0.0, 2.0])
+        fwd = target - eye
+        fwd /= np.linalg.norm(fwd)
+        up = np.array([0.0, -1.0, 0.0])
+        right = np.cross(up, fwd)
+        right /= np.linalg.norm(right)
+        up2 = np.cross(fwd, right)
+        R = np.stack([right, up2, fwd], 1)
+        T = np.eye(4, dtype=np.float32)
+        T[:3, :3] = R
+        T[:3, 3] = eye
+        poses.append(T)
+    return np.stack(poses)

@@ -94,10 +94,14 @@ def _bilinear(img, x, y):
     y0i = jnp.clip(y0.astype(jnp.int32), 0, H - 1)
     x1i = jnp.clip(x0i + 1, 0, W - 1)
     y1i = jnp.clip(y0i + 1, 0, H - 1)
-    a = img[y0i, x0i]
-    b = img[y0i, x1i]
-    c = img[y1i, x0i]
-    d = img[y1i, x1i]
+    # flat takes, NOT 2-D advanced indexing: the multi-index-array gather
+    # lowering degrades the runtime's h2d transfer path ~50x process-wide
+    # after one execution (see _bilinear_flat)
+    fimg = img.reshape(-1)
+    a = jnp.take(fimg, y0i * W + x0i, mode="clip")
+    b = jnp.take(fimg, y0i * W + x1i, mode="clip")
+    c = jnp.take(fimg, y1i * W + x0i, mode="clip")
+    d = jnp.take(fimg, y1i * W + x1i, mode="clip")
     return a * (1 - fx) * (1 - fy) + b * fx * (1 - fy) + c * (1 - fx) * fy + d * fx * fy
 
 
@@ -216,10 +220,15 @@ def _bilinear_flat(flat, base, W, H, x, y):
     y0i = jnp.clip(y0.astype(jnp.int32), 0, H - 1)
     x1i = jnp.minimum(x0i + 1, W - 1)
     y1i = jnp.minimum(y0i + 1, H - 1)
-    a = flat[base + y0i * W + x0i]
-    b = flat[base + y0i * W + x1i]
-    c = flat[base + y1i * W + x0i]
-    d = flat[base + y1i * W + x1i]
+    # jnp.take(mode="clip") rather than advanced indexing: the 2-D
+    # advanced-index gather lowering leaves the device runtime's
+    # host->device transfer path degraded ~50x for the remainder of the
+    # process (measured: 1.4 ms -> 70 ms per 1.5 MB upload after ONE
+    # execution); take(mode="clip") lowers to a form that does not
+    a = jnp.take(flat, base + y0i * W + x0i, mode="clip")
+    b = jnp.take(flat, base + y0i * W + x1i, mode="clip")
+    c = jnp.take(flat, base + y1i * W + x0i, mode="clip")
+    d = jnp.take(flat, base + y1i * W + x1i, mode="clip")
     return a * (1 - fx) * (1 - fy) + b * fx * (1 - fy) + c * (1 - fx) * fy + d * fx * fy
 
 
@@ -247,9 +256,10 @@ def _orientations(gm_flat, go_flat, base, W, H, x, y, sigma_local):
         hist = (jnp.roll(hist, 1, 1) + hist + jnp.roll(hist, -1, 1)) / 3.0
     b = jnp.argmax(hist, axis=1)                           # [K]
     k_idx = jnp.arange(hist.shape[0])
-    h0 = hist[k_idx, (b - 1) % 36]
-    h1 = hist[k_idx, b]
-    h2 = hist[k_idx, (b + 1) % 36]
+    hflat = hist.reshape(-1)  # flat takes (not 2-D advanced indexing)
+    h0 = jnp.take(hflat, k_idx * 36 + (b - 1) % 36, mode="clip")
+    h1 = jnp.take(hflat, k_idx * 36 + b, mode="clip")
+    h2 = jnp.take(hflat, k_idx * 36 + (b + 1) % 36, mode="clip")
     denom = h0 - 2 * h1 + h2
     delta = jnp.where(jnp.abs(denom) > 1e-12, 0.5 * (h0 - h2) / denom, 0.0)
     return (b.astype(jnp.float32) + 0.5 + delta) * (2 * jnp.pi / 36.0)
@@ -340,7 +350,7 @@ def detect_and_describe(intensity, depth, cfg: SiftConfig = SiftConfig()) -> Sif
     H, W = depth.shape
     xi = jnp.clip(jnp.round(x).astype(jnp.int32), 0, W - 1)
     yi = jnp.clip(jnp.round(y).astype(jnp.int32), 0, H - 1)
-    d = depth[yi, xi]
+    d = jnp.take(depth.reshape(-1), yi * W + xi, mode="clip")
     depth_ok = jnp.isfinite(d) & (d >= cfg.depth_min) & (d <= cfg.depth_max)
     scale_ok = scale >= cfg.min_scale
     valid = valid & depth_ok & scale_ok
@@ -381,7 +391,9 @@ def detect_and_describe(intensity, depth, cfg: SiftConfig = SiftConfig()) -> Sif
     gm_flat = jnp.concatenate(gm_parts)
     go_flat = jnp.concatenate(go_parts)
 
-    base = jnp.asarray(base_np)[koct, ksidx]               # [K]
+    base = jnp.take(
+        jnp.asarray(base_np).reshape(-1), koct * (S + 1) + ksidx, mode="clip"
+    )                                                      # [K]
     Wk = jnp.asarray(W_np)[koct]
     Hk = jnp.asarray(H_np)[koct]
     mulk = jnp.exp2(koct.astype(jnp.float32))

@@ -376,6 +376,10 @@ class BundleFusion:
         # pair-cap overflow accounting (write-only in round 2 — now
         # surfaced per retire and reported by the bench)
         self.pairs_dropped_total = 0
+        # re-integration accounting (TimingLogDepthSensing analog): frames
+        # that dispatched the rows program + total de/re-integration ops
+        self.reint_frames = 0
+        self.reint_ops_total = 0
         self.pairs_dropped_max = 0
         # per-frame raycast cadence (reference: every frame); 0 disables
         self.render_every = 1 if app.reconstruction_enabled else 0
@@ -1746,6 +1750,10 @@ class BundleFusion:
             return
 
         rows = rows[:R]
+        self.reint_frames += 1
+        self.reint_ops_total += sum(
+            2 if mode == 2 else 1 for _f, mode, _To, _Tn in rows
+        )
         eye = np.eye(4, dtype=np.float32)
         # single packed upload per frame (each separate host->device array
         # costs a tunnel round trip): [fid, op, T_old flat 16, T_new flat 16]

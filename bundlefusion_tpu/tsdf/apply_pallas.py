@@ -75,18 +75,18 @@ HT = 8                            # sampling chunk rows: slots allocate in
                                   # sorted packed-key batches (x fastest), so
                                   # a chunk of HT consecutive slots is an
                                   # ~HT-block x-strip; 8 blocks = 64 cm spans
-                                  # ~90 px at 2 m, letting the windowed MXU
-                                  # paths fire (at HT=32 the 2.5 m strip
-                                  # forced the full-width fallback on every
-                                  # chunk - 13.4 GFLOP/chunk vs 0.7)
+                                  # ~90 px at 2 m. HT=4 would halve the
+                                  # windows but mosaic vector loads need 8
+                                  # sublanes. The one-hot contraction costs
+                                  # WIN * 5*VW MACs PER VOXEL — window size
+                                  # is the whole cost model
 WIN = 64                          # u-window columns for MXU sampling
-WIN2 = 128                        # wider u-window (the x-strip common case)
+WIN2 = 128                        # wider u-window (near-camera fallback)
 VW = 128                          # v-window columns (HP is always >= 128);
-                                  # the windowed path contracts
-                                  # [HT*V, WIN] @ [WIN, 5*VW] instead of 5x
-                                  # [HT*V, WIN] @ [WIN, HP] — half the FLOPs
-                                  # at HP=256 and one MXU pass for all
-                                  # channels
+                                  # VW=64 measured SLOWER: tilted x-strips
+                                  # project diagonally, v-span tracks u-span
+                                  # (~90-120 px), so narrower windows push
+                                  # chunks onto the full-HP fallback paths
 
 
 def _apply_kernel(
@@ -512,7 +512,7 @@ def _apply_kernel(
             d.wait()
 
 
-def active_tile_indices(table, w2c, signs, intr, params, H, W):
+def active_tile_indices(table, w2c, signs, intr, params, H, W, op_dmax=None):
     """Frustum-compacted sweep schedule: indices of payload TILEs holding at
     least one live block that could be touched by ANY of the ops.
 
@@ -539,11 +539,20 @@ def active_tile_indices(table, w2c, signs, intr, params, H, W):
     ) * bs                                                  # [8, 3]
     pts = corner[:, None, :] + offs[None]                   # [N, 8, 3]
     dmax = min(params.depth_max, params.max_integration_distance)
-    zmax = dmax + params.truncation + params.truncation_scale * dmax
 
     OPS = w2c.shape[0]
     any_op = jnp.zeros((N,), bool)
     for o in range(OPS):
+        # per-op far bound: a voxel only updates with z < d + trunc(d) and
+        # d <= the op image's max valid depth, so blocks entirely beyond
+        # that are provably untouched — on indoor scenes the observed max
+        # depth is well under the 4 m sensor bound, pruning far-behind
+        # blocks from the sweep
+        if op_dmax is not None:
+            dm = jnp.minimum(op_dmax[o], dmax)
+        else:
+            dm = dmax
+        zmax = dm + params.truncation + params.truncation_scale * dm
         R, t = w2c[o, :3, :3], w2c[o, :3, 3]
         pc = pts @ R.T + t                                  # [N, 8, 3]
         z = pc[..., 2]
@@ -636,7 +645,13 @@ def apply_tsdf_ops(
         axis=1,
     )  # [OPS, 16]
 
-    tidx, n_active = active_tile_indices(table, w2c, signs, intr, params, H, W)
+    d_fin = jnp.where(
+        jnp.isfinite(depths) & (jnp.abs(depths) < 1e30), depths, 0.0
+    )
+    op_dmax = jnp.max(d_fin, axis=(1, 2))[img_of_op]        # [OPS]
+    tidx, n_active = active_tile_indices(
+        table, w2c, signs, intr, params, H, W, op_dmax=op_dmax
+    )
     nt = jnp.reshape(n_active, (1, 1)).astype(jnp.int32)
 
 
@@ -767,12 +782,14 @@ def apply_tsdf_ops_xla(
         inb = (u >= 0) & (u < W) & (v >= 0) & (v < H) & (z > 0)
         uc = jnp.clip(u, 0, W - 1)
         vc = jnp.clip(v, 0, H - 1)
-        d = d_q[img][vc, uc]
-        # per-channel gathers: a fused [N, V, 3] gather would be minor-dim
-        # padded 3 -> 128 by the TPU layout
-        rgb_r = c_q[img, :, :, 0][vc, uc]
-        rgb_g = c_q[img, :, :, 1][vc, uc]
-        rgb_b = c_q[img, :, :, 2][vc, uc]
+        lin = vc * W + uc
+        # flat per-channel takes: a fused [N, V, 3] gather would be
+        # minor-dim padded 3 -> 128 by the TPU layout, and 2-D
+        # advanced-index gathers poison the runtime's h2d path
+        d = jnp.take(d_q[img].reshape(-1), lin, mode="clip")
+        rgb_r = jnp.take(c_q[img, :, :, 0].reshape(-1), lin, mode="clip")
+        rgb_g = jnp.take(c_q[img, :, :, 1].reshape(-1), lin, mode="clip")
+        rgb_b = jnp.take(c_q[img, :, :, 2].reshape(-1), lin, mode="clip")
         depth_ok = (d >= params.depth_min) & (d <= dmax)
         sd = d - z
         trunc = params.truncation + params.truncation_scale * d

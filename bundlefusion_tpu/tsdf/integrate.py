@@ -279,8 +279,12 @@ def integrate_frame(
     inb = (u >= 0) & (u < intr.width) & (v >= 0) & (v < intr.height) & (z > 0)
     uc = jnp.clip(u, 0, intr.width - 1)
     vc = jnp.clip(v, 0, intr.height - 1)
-    d = depth[vc, uc]
-    rgb = color[vc, uc]
+    # flat takes (2-D advanced-index gathers poison the runtime's h2d path)
+    lin = vc * intr.width + uc
+    d = jnp.take(depth.reshape(-1), lin, mode="clip")
+    rgb = jnp.take(
+        color.reshape(-1, 3), lin.reshape(-1), axis=0, mode="clip"
+    ).reshape(lin.shape + (3,))
 
     depth_ok = (
         jnp.isfinite(d)
