@@ -65,81 +65,141 @@ def match_and_filter(
       ``inlier_mask`` [P, R], ``idx_cur``/``idx_prev`` [P, R],
       ``p_cur``/``p_prev`` [P, R, 3] back-projected matched keypoints.
     """
+    explicit_slots = slots is not None
     slots = jnp.arange(keys.capacity) if slots is None else slots
     cur_desc = keys.desc[cur_slot].astype(jnp.float32)
     cur_valid = keys.valid[cur_slot]
     cur_pos = keys.pos[cur_slot]
     cur_depth = keys.depth[cur_slot]
-    active = (slots < cur_slot) & keys.frame_valid[slots]
 
-    def match_one(slot):
-        m = match_descriptors_pair(
-            cur_desc,
-            cur_valid,
-            keys.desc[slot].astype(jnp.float32),
-            keys.valid[slot],
-            params.sift_match_thresh,
-            params.sift_match_ratio,
-            params.num_raw_matches,
+    cur_d = cache.depth[cur_slot] if params.use_dense_verify else None
+    cur_cp = cache.campos[cur_slot] if params.use_dense_verify else None
+    cur_n = cache.normal[cur_slot] if params.use_dense_verify else None
+
+    def run_slots(slot_ids, raw_ids):
+        """Full cascade over one set of slots (raw_ids: pre-clip ids for
+        the active test)."""
+        active = (
+            (raw_ids < cur_slot)
+            & (raw_ids < keys.capacity)
+            & keys.frame_valid[slot_ids]
         )
-        # back-project matched keys
-        pc = backproject_keys(
-            cur_pos[m.idx_i], cur_depth[m.idx_i], intr_sift
-        )
-        pp = backproject_keys(
-            keys.pos[slot][m.idx_j], keys.depth[slot][m.idx_j], intr_sift
-        )
-        pix_c = cur_pos[m.idx_i]
-        pix_p = keys.pos[slot][m.idx_j]
-        return m, pc, pp, pix_c, pix_p
 
-    matches, p_cur, p_prev, pix_cur, pix_prev = jax.vmap(match_one)(slots)
-    match_valid = matches.valid & active[:, None]
-
-    kf = jax.vmap(
-        lambda pc, pp, xc, xp, v: kabsch_filter_pair(
-            pc, pp, xc, xp, v,
-            params.max_filtered, params.min_num_matches, params.max_kabsch_res2,
-        )
-    )(p_cur, p_prev, pix_cur, pix_prev, match_valid)
-
-    sa_keep, _, _ = jax.vmap(
-        lambda pc, pp, m: surface_area_filter_pair(pc, pp, m, params.surf_area_thresh)
-    )(p_cur, p_prev, kf["inlier_mask"])
-
-    pair_valid = kf["valid_pair"] & sa_keep
-
-    if params.use_dense_verify:
-        cur_d = cache.depth[cur_slot]
-        cur_cp = cache.campos[cur_slot]
-        cur_n = cache.normal[cur_slot]
-
-        def dv_one(slot, T):
-            # T maps cur -> prev; verify with input=cur, model=prev
-            return dense_verify_pair(
-                T,
-                cur_d, cur_cp, cur_n,
-                cache.depth[slot], cache.campos[slot], cache.normal[slot],
-                intr_cache,
-                params.dense,
+        def match_one(slot):
+            m = match_descriptors_pair(
+                cur_desc,
+                cur_valid,
+                keys.desc[slot].astype(jnp.float32),
+                keys.valid[slot],
+                params.sift_match_thresh,
+                params.sift_match_ratio,
+                params.num_raw_matches,
             )
+            # back-project matched keys
+            pc = backproject_keys(
+                cur_pos[m.idx_i], cur_depth[m.idx_i], intr_sift
+            )
+            pp = backproject_keys(
+                keys.pos[slot][m.idx_j], keys.depth[slot][m.idx_j], intr_sift
+            )
+            pix_c = cur_pos[m.idx_i]
+            pix_p = keys.pos[slot][m.idx_j]
+            return m, pc, pp, pix_c, pix_p
 
-        dv_keep, dv_err, dv_corr = jax.vmap(dv_one)(slots, kf["transform"])
-        pair_valid = pair_valid & dv_keep
+        matches, p_cur, p_prev, pix_cur, pix_prev = jax.vmap(match_one)(slot_ids)
+        match_valid = matches.valid & active[:, None]
 
-    inlier = kf["inlier_mask"] & pair_valid[:, None]
-    return {
-        "pair_valid": pair_valid,
-        "transforms": kf["transform"],
-        "num_inliers": jnp.sum(inlier.astype(jnp.int32), -1),
-        "inlier_mask": inlier,
-        "idx_cur": matches.idx_i,
-        "idx_prev": matches.idx_j,
-        "p_cur": p_cur,
-        "p_prev": p_prev,
-        "cur_slot": cur_slot,
-        "num_keys_per_frame": keys.keys_per_frame,
-    }
+        kf = jax.vmap(
+            lambda pc, pp, xc, xp, v: kabsch_filter_pair(
+                pc, pp, xc, xp, v,
+                params.max_filtered, params.min_num_matches, params.max_kabsch_res2,
+            )
+        )(p_cur, p_prev, pix_cur, pix_prev, match_valid)
+
+        sa_keep, _, _ = jax.vmap(
+            lambda pc, pp, m: surface_area_filter_pair(pc, pp, m, params.surf_area_thresh)
+        )(p_cur, p_prev, kf["inlier_mask"])
+
+        pair_valid = kf["valid_pair"] & sa_keep
+
+        if params.use_dense_verify:
+            def dv_one(slot, T):
+                # T maps cur -> prev; verify with input=cur, model=prev
+                return dense_verify_pair(
+                    T,
+                    cur_d, cur_cp, cur_n,
+                    cache.depth[slot], cache.campos[slot], cache.normal[slot],
+                    intr_cache,
+                    params.dense,
+                )
+
+            dv_keep, _dv_err, _dv_corr = jax.vmap(dv_one)(slot_ids, kf["transform"])
+            pair_valid = pair_valid & dv_keep
+
+        inlier = kf["inlier_mask"] & pair_valid[:, None]
+        return {
+            "pair_valid": pair_valid,
+            "transforms": kf["transform"],
+            "num_inliers": jnp.sum(inlier.astype(jnp.int32), -1),
+            "inlier_mask": inlier,
+            "idx_cur": matches.idx_i,
+            "idx_prev": matches.idx_j,
+            "p_cur": p_cur,
+            "p_prev": p_prev,
+        }
+
+    if explicit_slots or keys.capacity <= 128:
+        out = run_slots(slots, slots)
+    else:
+        # Chunked sweep with an early-exit cond per chunk: the store fills
+        # sequentially (slot g is the g-th keyframe), so chunks entirely
+        # above ``cur_slot`` can contribute nothing — skipping them makes
+        # the O(G) match + filter cascade cost O(live keyframes) instead of
+        # O(capacity) (125 ms -> ~15 ms per boundary at the reference
+        # G=1200 capacity with ~100 live). The reference's loop over
+        # previous frames has the same live-count cost (Bundler.cpp:112).
+        CB = 128
+        P = keys.capacity
+        NB = -(-P // CB)
+
+        R = params.num_raw_matches
+        out = {
+            "pair_valid": jnp.zeros((NB * CB,), bool),
+            "transforms": jnp.broadcast_to(
+                jnp.eye(4, dtype=jnp.float32), (NB * CB, 4, 4)
+            ),
+            "num_inliers": jnp.zeros((NB * CB,), jnp.int32),
+            "inlier_mask": jnp.zeros((NB * CB, R), bool),
+            "idx_cur": jnp.zeros((NB * CB, R), jnp.int32),
+            "idx_prev": jnp.zeros((NB * CB, R), jnp.int32),
+            "p_cur": jnp.zeros((NB * CB, R, 3), jnp.float32),
+            "p_prev": jnp.zeros((NB * CB, R, 3), jnp.float32),
+        }
+
+        def chunk_body(cidx, acc):
+            start = cidx * CB
+            raw = start + jnp.arange(CB, dtype=jnp.int32)
+            ids = jnp.clip(raw, 0, P - 1)
+
+            def do(acc):
+                res = run_slots(ids, raw)
+                return {
+                    k: jax.lax.dynamic_update_slice(
+                        acc[k],
+                        res[k].astype(acc[k].dtype),
+                        (start,) + (0,) * (acc[k].ndim - 1),
+                    )
+                    for k in acc
+                }
+
+            return jax.lax.cond(start < cur_slot, do, lambda a: a, acc)
+
+        out = jax.lax.fori_loop(0, NB, chunk_body, out)
+        out = {k: v[:P] for k, v in out.items()}
+
+    out["cur_slot"] = cur_slot
+    out["num_keys_per_frame"] = keys.keys_per_frame
+    return out
 
 
 @jax.jit

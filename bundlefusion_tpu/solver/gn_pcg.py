@@ -58,6 +58,12 @@ class SolverParams:
     gn_early_out_delta: float = 0.005
     sparse_weight: float = 1.0
     max_pairs: int = 4096            # active (i, j) pair capacity
+    max_working_corrs: int = 131072  # live corrs entering one solve; the
+                                     # store capacity can be far larger
+                                     # (262144 at reference defaults) and
+                                     # the per-solve sort/gather work
+                                     # scales with THIS, not capacity;
+                                     # overflow surfaces in dropped
 
 
 class SolveStats(NamedTuple):
@@ -94,28 +100,75 @@ def compute_residuals(poses, corrs: CorrStore):
     return jnp.where(v[:, None], r, 0.0), v
 
 
+def _chunked_residual_reduce(poses, corrs: CorrStore, reduce_fn, init):
+    """Run ``reduce_fn(acc, r_chunk, v_chunk, start)`` over live-prefix
+    chunks of the corr store (appends are a prefix; the capacity tail is
+    skipped by a cond). Falls back to one pass for small/ragged stores."""
+    C = corrs.capacity
+    KB = 16384
+    if C <= KB or C % KB != 0:
+        r, v = compute_residuals(poses, corrs)
+        return reduce_fn(init, r, v, 0)
+    n_live = jnp.sum(corrs.valid_mask().astype(jnp.int32))
+
+    def body(cidx, acc):
+        start = cidx * KB
+
+        def do(acc):
+            sl = lambda a: jax.lax.dynamic_slice_in_dim(a, start, KB, 0)
+            v = sl(corrs.img_i) >= 0  # valid_mask semantics
+            pi = _gather_poses(poses, sl(corrs.img_i))
+            pj = _gather_poses(poses, sl(corrs.img_j))
+            r = _res_batch(pi, pj, sl(corrs.p_i), sl(corrs.p_j))
+            r = jnp.where(v[:, None], r, 0.0)
+            return reduce_fn(acc, r, v, start)
+
+        return jax.lax.cond(start < n_live, do, lambda a: a, acc)
+
+    return jax.lax.fori_loop(0, C // KB, body, init)
+
+
 def max_residual(poses, corrs: CorrStore):
     """Max |per-axis component| over valid corrs + its corr index
     (reference ``computeMaxResidual``; s_optMaxResThresh is per-axis)."""
-    r, v = compute_residuals(poses, corrs)
-    m = jnp.max(jnp.abs(r), axis=-1)
-    m = jnp.where(v, m, -1.0)
-    idx = jnp.argmax(m)
-    return m[idx], idx
+
+    def red(acc, r, v, start):
+        best, best_idx = acc
+        m = jnp.where(v, jnp.max(jnp.abs(r), axis=-1), -1.0)
+        i = jnp.argmax(m)
+        better = m[i] > best
+        return (
+            jnp.where(better, m[i], best),
+            jnp.where(better, start + i, best_idx),
+        )
+
+    return _chunked_residual_reduce(
+        poses, corrs, red, (jnp.asarray(-1.0), jnp.asarray(0))
+    )
 
 
 def count_high_residuals(poses, corrs: CorrStore, thresh: float = 0.02):
     """Fraction-based verification (reference ``useVerification``,
     CUDASolverBundling.cpp:454-476): returns (num_high, num_valid)."""
-    r, v = compute_residuals(poses, corrs)
-    m = jnp.max(jnp.abs(r), axis=-1)
-    high = v & (m > thresh)
-    return jnp.sum(high.astype(jnp.int32)), jnp.sum(v.astype(jnp.int32))
+
+    def red(acc, r, v, start):
+        m = jnp.max(jnp.abs(r), axis=-1)
+        high = v & (m > thresh)
+        return (
+            acc[0] + jnp.sum(high.astype(jnp.int32)),
+            acc[1] + jnp.sum(v.astype(jnp.int32)),
+        )
+
+    return _chunked_residual_reduce(
+        poses, corrs, red, (jnp.asarray(0, jnp.int32), jnp.asarray(0, jnp.int32))
+    )
 
 
 def cost(poses, corrs: CorrStore):
-    r, _ = compute_residuals(poses, corrs)
-    return jnp.sum(r * r)
+    def red(acc, r, v, start):
+        return acc + jnp.sum(r * r)
+
+    return _chunked_residual_reduce(poses, corrs, red, jnp.asarray(0.0))
 
 
 # ---------------------------------------------------------------------------
@@ -142,9 +195,37 @@ class SortedCorrs(NamedTuple):
     dropped: jax.Array   # [] int32: segments beyond the P cap
 
 
-def sort_corrs_by_pair(corrs: CorrStore, num_frames: int, max_pairs: int) -> SortedCorrs:
-    """Sort the corr store by (img_i, img_j) and find segment boundaries."""
+def sort_corrs_by_pair(
+    corrs: CorrStore, num_frames: int, max_pairs: int,
+    working: int | None = None,
+) -> SortedCorrs:
+    """Sort the corr store by (img_i, img_j) and find segment boundaries.
+
+    ``working``: optional live-corr working capacity. When smaller than the
+    store, live corrs are COMPACTED (one cumsum pass) into a [working]
+    array before sorting, so the argsort + order-gathers scale with the
+    working set instead of store capacity (262144 at reference defaults —
+    the full-capacity sort alone cost ~15 ms per solve). Live corrs beyond
+    ``working`` are dropped and surfaced in ``dropped``."""
     C = corrs.capacity
+    extra_dropped = jnp.asarray(0, jnp.int32)
+    if working is not None and working < C:
+        vfull = corrs.valid_mask()
+        idx = jnp.nonzero(vfull, size=working, fill_value=C)[0]
+        extra_dropped = jnp.maximum(
+            jnp.sum(vfull.astype(jnp.int32)) - working, 0
+        )
+        ci = jnp.clip(idx, 0, C - 1)
+        ok = idx < C
+        corrs = corrs._replace(
+            img_i=jnp.where(ok, corrs.img_i[ci], -1),
+            img_j=jnp.where(ok, corrs.img_j[ci], -1),
+            p_i=jnp.where(ok[:, None], corrs.p_i[ci], 0.0),
+            p_j=jnp.where(ok[:, None], corrs.p_j[ci], 0.0),
+            key_i=jnp.where(ok, corrs.key_i[ci], -1),
+            key_j=jnp.where(ok, corrs.key_j[ci], -1),
+        )
+        C = working
     v = corrs.valid_mask()
     pid = jnp.where(v, corrs.img_i * num_frames + corrs.img_j, _BIG)
     order = jnp.argsort(pid)
@@ -177,31 +258,63 @@ def sort_corrs_by_pair(corrs: CorrStore, num_frames: int, max_pairs: int) -> Sor
         pair_i=jnp.where(pair_valid, img_i_s[starts], 0),
         pair_j=jnp.where(pair_valid, img_j_s[starts], 0),
         pair_valid=pair_valid,
-        dropped=jnp.maximum(n_seg - max_pairs, 0),
+        dropped=jnp.maximum(n_seg - max_pairs, 0) + extra_dropped,
     )
 
 
-def build_sparse_pair_system(poses, sc: SortedCorrs, w_sqrt):
+def build_sparse_pair_system(poses, sc: SortedCorrs, w_sqrt, n_live=None):
     """Per-GN-iteration reduction: exact per-corr Jacobians -> per-pair
     H [P, 12, 12] / b [P, 12] via a sorted segment-sum over the runs
     (``segment_sum`` with monotone ids — no global f32 prefix-sum
     differencing, so late segments keep full precision at high corr
-    counts). Returns (H, b)."""
+    counts). Returns (H, b).
+
+    ``n_live``: optional live-corr count. The sorted arrays hold all live
+    corrs as a PREFIX (invalid sort to the end), so when given, the C-sized
+    pass runs in chunks with a cond skip past the live prefix — cost scales
+    with occupancy, not store capacity (the reference-capacity 262144-corr
+    store made every GN iteration pay full price at ~2K live corrs)."""
     P_cap = sc.pair_valid.shape[0]
-    vf = sc.valid.astype(jnp.float32)[:, None] * w_sqrt
-    pi = _gather_poses(poses, sc.img_i)
-    pj = _gather_poses(poses, sc.img_j)
-    r = _res_batch(pi, pj, sc.p_i, sc.p_j) * vf           # [C, 3]
-    Ji, Jj = _jac_batch(pi, pj, sc.p_i, sc.p_j)           # [C, 3, 6]
-    Ji = Ji * vf[..., None]
-    Jj = Jj * vf[..., None]
-    J = jnp.concatenate([Ji, Jj], axis=-1)                # [C, 3, 12]
-    Hc = jnp.einsum("cri,crj->cij", J, J)                 # [C, 12, 12]
-    bc = jnp.einsum("cri,cr->ci", J, r)                   # [C, 12]
-    contrib = jnp.concatenate([Hc.reshape(-1, 144), bc], axis=-1)  # [C, 156]
-    seg = jax.ops.segment_sum(
-        contrib, sc.seg_id, num_segments=P_cap + 1, indices_are_sorted=True
-    )[:P_cap]                                             # [P, 156]
+    C = sc.valid.shape[0]
+
+    def contrib_of(valid, img_i, img_j, p_i, p_j, seg_id):
+        vf = valid.astype(jnp.float32)[:, None] * w_sqrt
+        pi = _gather_poses(poses, img_i)
+        pj = _gather_poses(poses, img_j)
+        r = _res_batch(pi, pj, p_i, p_j) * vf             # [c, 3]
+        Ji, Jj = _jac_batch(pi, pj, p_i, p_j)             # [c, 3, 6]
+        Ji = Ji * vf[..., None]
+        Jj = Jj * vf[..., None]
+        J = jnp.concatenate([Ji, Jj], axis=-1)            # [c, 3, 12]
+        Hc = jnp.einsum("cri,crj->cij", J, J)             # [c, 12, 12]
+        bc = jnp.einsum("cri,cr->ci", J, r)               # [c, 12]
+        contrib = jnp.concatenate([Hc.reshape(-1, 144), bc], axis=-1)
+        return jax.ops.segment_sum(
+            contrib, seg_id, num_segments=P_cap + 1, indices_are_sorted=True
+        )
+
+    KB = 16384
+    if n_live is None or C <= KB or C % KB != 0:
+        seg = contrib_of(
+            sc.valid, sc.img_i, sc.img_j, sc.p_i, sc.p_j, sc.seg_id
+        )[:P_cap]
+    else:
+        def body(cidx, acc):
+            start = cidx * KB
+
+            def do(acc):
+                sl = lambda a: jax.lax.dynamic_slice_in_dim(a, start, KB, 0)
+                return acc + contrib_of(
+                    sl(sc.valid), sl(sc.img_i), sl(sc.img_j),
+                    sl(sc.p_i), sl(sc.p_j), sl(sc.seg_id),
+                )
+
+            return jax.lax.cond(start < n_live, do, lambda a: a, acc)
+
+        acc = jax.lax.fori_loop(
+            0, C // KB, body, jnp.zeros((P_cap + 1, 156), jnp.float32)
+        )
+        seg = acc[:P_cap]
     seg = jnp.where(sc.pair_valid[:, None], seg, 0.0)
     H = seg[:, :144].reshape(-1, 12, 12)
     b = seg[:, 144:156]
@@ -218,14 +331,39 @@ def pair_incidence(pair_i, pair_j, pair_valid, num_frames: int):
     return oh_i.astype(jnp.float32), oh_j.astype(jnp.float32)
 
 
-def _pair_matvec_f32(H, oh_i, oh_j, x):
-    """x [N, 6] -> sum_p S_p^T H_p S_p x."""
-    xi = jnp.dot(oh_i, x)
-    xj = jnp.dot(oh_j, x)
-    xij = jnp.concatenate([xi, xj], axis=-1)              # [P, 12]
-    y = jnp.einsum("pab,pb->pa", H, xij)                  # [P, 12]
-    out = jnp.dot(oh_i.T, y[:, :6])
-    return out + jnp.dot(oh_j.T, y[:, 6:])
+def _pair_matvec_f32(H, oh_i, oh_j, x, n_pairs=None):
+    """x [N, 6] -> sum_p S_p^T H_p S_p x.
+
+    ``n_pairs``: optional live-pair count; pairs are a sorted prefix, so
+    the [P, N] one-hot matmuls run in P-chunks with a cond skip — the
+    per-PCG-iteration cost scales with live pairs, not pair capacity
+    (at N=1200/P=4096 the dense one-hots cost ~80 MB of reads per
+    iteration; live runs are typically a few hundred pairs)."""
+    P = oh_i.shape[0]
+    PB = 512
+    if n_pairs is None or P <= PB or P % PB != 0:
+        xi = jnp.dot(oh_i, x)
+        xj = jnp.dot(oh_j, x)
+        xij = jnp.concatenate([xi, xj], axis=-1)          # [P, 12]
+        y = jnp.einsum("pab,pb->pa", H, xij)              # [P, 12]
+        out = jnp.dot(oh_i.T, y[:, :6])
+        return out + jnp.dot(oh_j.T, y[:, 6:])
+
+    def body(cidx, acc):
+        start = cidx * PB
+
+        def do(acc):
+            ohi = jax.lax.dynamic_slice_in_dim(oh_i, start, PB, 0)
+            ohj = jax.lax.dynamic_slice_in_dim(oh_j, start, PB, 0)
+            Hc = jax.lax.dynamic_slice_in_dim(H, start, PB, 0)
+            xi = jnp.dot(ohi, x)
+            xj = jnp.dot(ohj, x)
+            y = jnp.einsum("pab,pb->pa", Hc, jnp.concatenate([xi, xj], -1))
+            return acc + jnp.dot(ohi.T, y[:, :6]) + jnp.dot(ohj.T, y[:, 6:])
+
+        return jax.lax.cond(start < n_pairs, do, lambda a: a, acc)
+
+    return jax.lax.fori_loop(0, P // PB, body, jnp.zeros_like(x))
 
 
 def _pair_rhs(b, oh_i, oh_j):
@@ -267,14 +405,17 @@ def solve_sparse(
     free = pose_valid & (jnp.arange(N) != 0)
     free_f = free.astype(jnp.float32)[:, None]
 
-    sc = sort_corrs_by_pair(corrs, N, P_cap)
+    sc = sort_corrs_by_pair(corrs, N, P_cap, working=params.max_working_corrs)
     oh_i, oh_j = pair_incidence(sc.pair_i, sc.pair_j, sc.pair_valid, N)
+    # live prefix sizes: chunked passes skip the dead capacity tail
+    n_live = jnp.sum(sc.valid.astype(jnp.int32))
+    n_pairs = jnp.sum(sc.pair_valid.astype(jnp.int32))
 
     c0 = cost(poses, corrs)
 
     def gn_iter(it, carry):
         poses, done, last_delta = carry
-        H, b = build_sparse_pair_system(poses, sc, w_sqrt)
+        H, b = build_sparse_pair_system(poses, sc, w_sqrt, n_live=n_live)
         rhs = -_pair_rhs(b, oh_i, oh_j) * free_f
 
         P = _pair_precond(H, oh_i, oh_j, N) + jnp.eye(6) * 1e-6
@@ -284,7 +425,9 @@ def solve_sparse(
             return jnp.einsum("nij,nj->ni", P_inv, x) * free_f
 
         def A(x):
-            return _pair_matvec_f32(H, oh_i, oh_j, x * free_f) * free_f
+            return _pair_matvec_f32(
+                H, oh_i, oh_j, x * free_f, n_pairs=n_pairs
+            ) * free_f
 
         # PCG
         x0 = jnp.zeros_like(poses)
@@ -377,15 +520,17 @@ def solve_bundle(
 
     free = pose_valid & (jnp.arange(N) != 0)
     free_f = free.astype(jnp.float32)[:, None]
-    sc = sort_corrs_by_pair(corrs, N, P_cap)
+    sc = sort_corrs_by_pair(corrs, N, P_cap, working=params.max_working_corrs)
     oh_i, oh_j = pair_incidence(sc.pair_i, sc.pair_j, sc.pair_valid, N)
+    n_live = jnp.sum(sc.valid.astype(jnp.int32))
+    n_pairs = jnp.sum(sc.pair_valid.astype(jnp.int32))
     c0 = cost(poses, corrs)
 
     def gn_iter(it, carry):
         poses, done = carry
         w_dense = dense_weights[jnp.minimum(it, dense_weights.shape[0] - 1)]
 
-        H, b = build_sparse_pair_system(poses, sc, w_sqrt)
+        H, b = build_sparse_pair_system(poses, sc, w_sqrt, n_live=n_live)
         pairs, pair_mask = find_overlapping_pairs(poses, pose_valid, cache, intr, dp)
         dsys = build_dense_system(poses, pairs, pair_mask, cache, intr, dp, 1.0, w_color)
 
@@ -404,7 +549,7 @@ def solve_bundle(
         def A(x):
             xf = x * free_f
             return (
-                _pair_matvec_f32(H, oh_i, oh_j, xf)
+                _pair_matvec_f32(H, oh_i, oh_j, xf, n_pairs=n_pairs)
                 + w_dense * dense_matvec(dsys, xf, N)
             ) * free_f
 
