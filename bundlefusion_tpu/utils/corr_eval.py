@@ -39,6 +39,8 @@ class CorrespondenceEvaluator:
         self.thresh = dist_thresh
         self.stages: Dict[str, StageStats] = {}
         self.rows: List[dict] = []
+        # per-pair raw dense-verify scores for offline threshold sweeps
+        self.dense_rows: List[dict] = []
 
     def _is_correct(self, fi: int, fj: int, p_i: np.ndarray, p_j: np.ndarray) -> np.ndarray:
         Ti, Tj = self.gt[fi], self.gt[fj]
@@ -170,7 +172,7 @@ def evaluate_frontend_fidelity(
             ev.record_stage("2_surface_area", j, i, p_i, p_j, inl, inl2)
 
             if intr_cache is not None and caches:
-                keep, _, _ = dense_verify_pair(
+                keep, dv_err, dv_corr = dense_verify_pair(
                     kf["transform"],
                     caches[j].depth[0], caches[j].campos[0], caches[j].normal[0],
                     caches[i].depth[0], caches[i].campos[0], caches[i].normal[0],
@@ -178,5 +180,20 @@ def evaluate_frontend_fidelity(
                 )
                 inl3 = inl2 & bool(np.asarray(keep))
                 ev.record_stage("3_dense_verify", j, i, p_i, p_j, inl2, inl3)
+                # raw (err, corr) per pair for offline threshold sweeps:
+                # pair-level GT label = majority of its stage-2 inliers
+                correct = ev._is_correct(j, i, p_i, p_j)
+                n_in = int(inl2.sum())
+                ev.dense_rows.append(
+                    {
+                        "j": j, "i": i,
+                        "err": float(np.asarray(dv_err)),
+                        "corr": float(np.asarray(dv_corr)),
+                        "n_in": n_in,
+                        "good": bool(
+                            n_in > 0 and (inl2 & correct).sum() >= 0.8 * n_in
+                        ),
+                    }
+                )
 
     return ev, ev.summary()

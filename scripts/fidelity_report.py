@@ -47,6 +47,56 @@ def main(small: bool = True):
         {k: np.asarray(v) for k, v in seq.items() if k in ("depth", "color", "poses")},
         intr, sift, fp, intr_cache=cache_intr,
     )
+
+    # threshold sweep over the RAW per-pair dense-verify scores (err, corr):
+    # precision/recall of the pair-level decision at each (err_thresh,
+    # corr_thresh) grid point, incl. the reference point (0.075, 0.02)
+    sweep = []
+    dr = ev.dense_rows
+    for et in (0.05, 0.075, 0.1, 0.15, 0.2):
+        for ct in (0.01, 0.02, 0.05):
+            tp = sum(1 for r in dr if r["good"] and r["err"] <= et and r["corr"] >= ct)
+            fp_ = sum(1 for r in dr if not r["good"] and r["err"] <= et and r["corr"] >= ct)
+            fn = sum(1 for r in dr if r["good"] and not (r["err"] <= et and r["corr"] >= ct))
+            sweep.append({
+                "err_thresh": et, "corr_thresh": ct,
+                "precision": round(tp / max(tp + fp_, 1), 4),
+                "recall": round(tp / max(tp + fn, 1), 4),
+                "tp": tp, "fp": fp_, "fn": fn,
+            })
+    summary["_threshold_sweep"] = sweep
+    # cap-aware kabsch recall: the filter keeps <= max_filtered matches per
+    # pair BY DESIGN (reference MAX_MATCHES_PER_IMAGE_PAIR_FILTERED=25,
+    # GlobalDefines.h:9), so raw recall counts capped-out correct matches
+    # as false negatives; recompute against the per-pair cap
+    cap_tp = cap_fn = 0
+    per_pair = {}
+    for r in ev.rows:
+        if r["stage"] == "1_kabsch":
+            per_pair[(r["j"], r["i"])] = r
+    for r in per_pair.values():
+        attainable = min(r["n_correct_in"], fp.max_filtered)
+        got = min(r["n_correct_out"], attainable)
+        cap_tp += got
+        cap_fn += attainable - got
+    if "1_kabsch" in summary:
+        summary["1_kabsch"]["recall_vs_cap"] = round(
+            cap_tp / max(cap_tp + cap_fn, 1), 4
+        )
+        summary["1_kabsch"]["note"] = (
+            "raw recall counts matches beyond the reference's 25-per-pair "
+            "filtered cap as FN; recall_vs_cap measures against the cap"
+        )
+    summary["_config"] = {
+        "sift_w": intr.width, "sift_h": intr.height,
+        "cache_w": cache_intr.width, "cache_h": cache_intr.height,
+        "frames": n,
+        "note": "dense verify uses NEAREST-pixel association (reference "
+                "getBestCorrespondence1x1); its residual floor scales with "
+                "the cache pixel footprint, so the reference thresholds "
+                "require the reference 80x60 cache geometry (--full)",
+    }
+
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     ev.to_csv(os.path.join(root, "FIDELITY.csv"))
     with open(os.path.join(root, "FIDELITY.json"), "w") as fh:
