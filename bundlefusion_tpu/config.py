@@ -190,6 +190,13 @@ class BundlingConfig:
     max_global_corr: int = 262144             # EntryJ store capacity (global)
     max_local_corr: int = 4096                # EntryJ store capacity (per submap)
     solver_max_pairs: int = 16384             # active (i, j) pair cap in the
+    solver_max_working_corrs: int = 131072    # live corrs entering one global
+                                              # solve (sort/gather working set;
+                                              # the store capacity can be far
+                                              # larger — reference sizes it at
+                                              # 25*G*(G-1)/2, SIFTImageManager
+                                              # .cpp:302 — overflow surfaces
+                                              # in pairs_dropped)
                                               # pair-reduced global solver
 
     timings_enabled: bool = False

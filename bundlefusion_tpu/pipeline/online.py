@@ -275,6 +275,7 @@ class BundleFusion:
             pcg_early_out=bundling.pcg_early_out,
             gn_early_out_delta=bundling.gn_early_out_delta,
             max_pairs=min(bundling.solver_max_pairs, self.G * (self.G + 1) // 2 + 1),
+            max_working_corrs=bundling.solver_max_working_corrs,
         )
         self.dense_term_params = DenseTermParams(
             dist_thresh=bundling.dense_dist_thresh,
@@ -1101,6 +1102,9 @@ class BundleFusion:
             self._submap_global = jax.jit(submap_global, donate_argnums=(0,))
 
         self._gc = jax.jit(garbage_collect, donate_argnums=(0,), static_argnums=(1,))
+        from bundlefusion_tpu.solver.residuals import compact_corrs
+
+        self._compact_corrs = jax.jit(compact_corrs, donate_argnums=(0,))
 
         # per-frame visualization (the reference raycasts every frame at
         # integration res and blits it, DepthSensing.cpp:1066-1068); the
@@ -1503,6 +1507,16 @@ class BundleFusion:
         # relocalization attempt BEFORE the solve so revalidated corrs join
         # this submap's global solve (tryRevalidation, Bundler.cpp:306-352)
         self._try_revalidation()
+
+        # periodic corr-store compaction: residual pruning / frame
+        # invalidation only MARK corrs dead (reference semantics), so long
+        # runs leak append capacity; reclaiming every 64 submaps keeps the
+        # cursor bounded by the LIVE count (the reference's append-only
+        # store cannot do this)
+        if g > 0 and g % 64 == 0 and not self._use_mesh:
+            self.glob = self.glob._replace(
+                corrs=self._compact_corrs(self.glob.corrs)
+            )
 
         if not self._use_mesh:
             (

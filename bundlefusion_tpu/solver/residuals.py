@@ -106,3 +106,30 @@ def corr_counts_per_frame(store: CorrStore, num_frames: int):
     c = c.at[seg_i].add(ones, mode="drop")
     c = c.at[seg_j].add(ones, mode="drop")
     return c[:num_frames]
+
+
+def compact_corrs(store: CorrStore) -> CorrStore:
+    """Reclaim invalidated slots: compact live corrs to a prefix and reset
+    the append cursor.
+
+    The reference's residual store is append-only (``AddCurrToResidualsCU``
+    bump-allocates; invalidation only marks ``imgIdx_i = -1``), so a long
+    run with heavy pruning leaks capacity. The sorted/masked TPU design
+    makes reclamation one fixed-shape pass: stable-compact the live rows,
+    zero the tail, drop the cursor to the live count. Callers run this
+    when ``count`` approaches capacity."""
+    C = store.capacity
+    v = store.valid_mask()
+    idx = jnp.nonzero(v, size=C, fill_value=C)[0]
+    ok = idx < C
+    ci = jnp.clip(idx, 0, C - 1)
+    n_live = jnp.sum(v.astype(jnp.int32))
+    return CorrStore(
+        img_i=jnp.where(ok, store.img_i[ci], -1),
+        img_j=jnp.where(ok, store.img_j[ci], -1),
+        p_i=jnp.where(ok[:, None], store.p_i[ci], 0.0),
+        p_j=jnp.where(ok[:, None], store.p_j[ci], 0.0),
+        key_i=jnp.where(ok, store.key_i[ci], -1),
+        key_j=jnp.where(ok, store.key_j[ci], -1),
+        count=n_live,
+    )

@@ -118,8 +118,8 @@ def _apply_kernel(
     out_w,
     out_c,
     geobuf,       # VMEM (2, TILE, 128): per-slot block coords + live flag
-    uvb,          # VMEM (2, TILE, V) int32: u | v (staged: computed arrays
-                  # cannot be re-read tile-wide inside the nested conds)
+    uvb,          # VMEM (3, TILE, V) int32: u | v | z_mm (staged: computed
+                  # arrays cannot be re-read tile-wide inside nested conds)
     samp,         # VMEM (5, TILE, V): d_hi | d_lo | r | g | b samples
     in_sems,      # DMA (2, 4)
     out_sems,     # DMA (2, 3)
@@ -236,6 +236,12 @@ def _apply_kernel(
                 # cannot be dynamically sliced in mosaic, refs can)
                 uvb[0] = jnp.where(inb, u, -1)
                 uvb[1] = jnp.where(inb, v, -1)
+                # camera-space z in mm for the chunk far-prefilter (voxels
+                # beyond the op's zmax can never update: z > dmax + trunc
+                # implies sd = d - z < -trunc(d) for every valid d)
+                uvb[2] = jnp.where(
+                    inb, (pz * 1000.0).astype(jnp.int32), jnp.int32(1 << 30)
+                )
 
                 def no_hit(cry3):
                     return cry3
@@ -375,7 +381,11 @@ def _apply_kernel(
                     off = pl.multiple_of(h * HT, HT)
                     um_c = uvb[0, pl.ds(off, HT)]   # (HT, V), -1 = invalid
                     vm_c = uvb[1, pl.ds(off, HT)]
-                    anyv = jnp.any(um_c >= 0)
+                    zmin_c = jnp.min(uvb[2, pl.ds(off, HT)])
+                    zmax_mm = meta_ref[o, 14].astype(jnp.int32)
+                    # skip chunks entirely beyond the op's far bound: their
+                    # samples could only produce upd == False (see uvb[2])
+                    anyv = jnp.any(um_c >= 0) & (zmin_c <= zmax_mm)
 
                     def go():
                         min_u = jnp.min(jnp.where(um_c >= 0, um_c, W))
@@ -634,21 +644,31 @@ def apply_tsdf_ops(
     # dynamic sublane slice
 
     w2c = jax.vmap(pose_inverse)(poses)
+    d_fin = jnp.where(
+        jnp.isfinite(depths) & (jnp.abs(depths) < 1e30), depths, 0.0
+    )
+    op_dmax = jnp.max(d_fin, axis=(1, 2))[img_of_op]        # [OPS]
+    dmax_cl = jnp.minimum(
+        op_dmax, min(params.depth_max, params.max_integration_distance)
+    )
+    # +2 mm guard: both sides quantize by flooring, so the skip must only
+    # fire strictly beyond the true bound (exactness vs the XLA twin)
+    op_zmax_mm = (
+        (dmax_cl + params.truncation + params.truncation_scale * dmax_cl)
+        * 1000.0
+        + 2.0
+    )
     meta = jnp.concatenate(
         [
             w2c[:, :3, :3].reshape(OPS, 9),
             w2c[:, :3, 3],
             signs.reshape(OPS, 1).astype(jnp.float32),
             img_of_op.reshape(OPS, 1).astype(jnp.float32),
-            jnp.zeros((OPS, 2), jnp.float32),
+            op_zmax_mm.reshape(OPS, 1),
+            jnp.zeros((OPS, 1), jnp.float32),
         ],
         axis=1,
     )  # [OPS, 16]
-
-    d_fin = jnp.where(
-        jnp.isfinite(depths) & (jnp.abs(depths) < 1e30), depths, 0.0
-    )
-    op_dmax = jnp.max(d_fin, axis=(1, 2))[img_of_op]        # [OPS]
     tidx, n_active = active_tile_indices(
         table, w2c, signs, intr, params, H, W, op_dmax=op_dmax
     )
@@ -706,7 +726,7 @@ def apply_tsdf_ops(
             pltpu.VMEM((2, TILE, V), jnp.float32),
             pltpu.VMEM((2, TILE, 3 * V), jnp.float32),
             pltpu.VMEM((2, TILE, 128), jnp.float32),
-            pltpu.VMEM((2, TILE, V), jnp.int32),
+            pltpu.VMEM((3, TILE, V), jnp.int32),
             pltpu.VMEM((5, TILE, V), jnp.float32),
             pltpu.SemaphoreType.DMA((2, 4)),
             pltpu.SemaphoreType.DMA((2, 3)),

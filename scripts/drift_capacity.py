@@ -96,9 +96,17 @@ def main():
         hash_num_sdf_blocks=131072, hash_key_capacity=131072,
         visible_blocks_cap=8192,
     )
+    # Reference worst-case sizing: 25 * G*(G-1)/2 = 5.1M corrs at G=640
+    # (SIFTImageManager.cpp:302). Loop-dense trajectories really do grow
+    # corrs quadratically (every keyframe overlaps the anchor region):
+    # a 131072 store filled at kf ~112, a 1M store at kf ~370 — and
+    # comprehensive invalidation then killed every later keyframe (the
+    # round-4 early runs' validity cliffs).
     bundling = BundlingConfig(
         width_sift=w, height_sift=h,
-        max_global_corr=131072,
+        max_global_corr=1 << 23,
+        solver_max_pairs=131072,
+        solver_max_working_corrs=1 << 22,
     )
     sift_cfg = SiftConfig(
         target_keys=150, min_scale=1.5,
@@ -142,7 +150,19 @@ def main():
     after_total = int(after.sum())
     inv = {k: int(v) for k, v in check_invariants(eng.table).items()}
 
+    corr_count = int(eng.glob.corrs.count)
+    corr_capacity = int(eng.glob.corrs.capacity)
+    kv = np.asarray(eng.keyframe_valid[: eng.num_keyframes])
+    lv = np.asarray(eng.glob.local_valid[: eng.num_keyframes])
+    inval_runs = np.where(~valid)[0]
     out = {
+        "corr_count": corr_count,
+        "corr_capacity": corr_capacity,
+        "corr_store_full": corr_count >= corr_capacity,
+        "kf_valid": int(kv.sum()),
+        "kf_invalid_idx_head": [int(x) for x in np.where(~kv)[0][:20]],
+        "local_valid_frac": round(float(lv.mean()), 3),
+        "first_invalid_frame": int(inval_runs[0]) if len(inval_runs) else -1,
         "platform": platform,
         "frames": n_frames,
         "keyframes": eng.num_keyframes,

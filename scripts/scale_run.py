@@ -108,6 +108,8 @@ def main():
         "input_staging": "prestaged_before_warmup",
         "reint_frames": eng.reint_frames,
         "reint_ops": eng.reint_ops_total,
+        "corr_count": int(eng.glob.corrs.count),
+        "corr_capacity": int(eng.glob.corrs.capacity),
         "stage_ms": {
             k: round(1000.0 * v, 2)
             for k, v in eng.timing.averages().items()

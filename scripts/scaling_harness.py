@@ -38,16 +38,21 @@ app = AppConfig(integration_width=80, integration_height=60, sdf_voxel_size=0.03
                 sdf_truncation=0.09, hash_num_sdf_blocks=8192, hash_key_capacity=16384,
                 visible_blocks_cap=8192)
 G = 4 * n                       # keyframe capacity scales with the mesh
-bundling = BundlingConfig(width_sift=160, height_sift=120, submap_size=4,
+# submap_size 10 = the REFERENCE cadence (zParametersBundlingDefault.txt:31):
+# boundaries amortize over 9 frames as in the real system (the round-3
+# harness ran submap 4, overweighting the boundary phase 3x)
+bundling = BundlingConfig(width_sift=160, height_sift=120, submap_size=10,
                           downsampled_width=40, downsampled_height=30,
                           max_local_corr=2048, max_global_corr=512 * n,
                           min_num_matches_local=4, min_num_matches_global=4)
 sift = SiftConfig(num_octaves=3, target_keys=96, max_candidates_per_octave=256,
                   min_scale=1.0, dog_thresh=0.004)
 eng = BundleFusion(intr, app, bundling, sift_cfg=sift, max_keyframes=G, mesh=mesh)
-n_frames = 2 * bundling.submap_size * n + 1
+# 2 submaps per device (the global problem scales with the mesh), same
+# per-device frame count at every n
+n_frames = 2 * (bundling.submap_size - 1) * n + 1
 seq = make_sequence(n_frames, intr=intr)
-warm = bundling.submap_size + 1
+warm = bundling.submap_size
 for i in range(warm):
     eng.process_frame(seq["depth"][i], seq["color"][i])
 jax.block_until_ready((eng.local, eng.glob))

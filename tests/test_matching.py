@@ -71,3 +71,72 @@ def test_invalid_masks_respected(rng):
     )
     v = np.asarray(m.valid)
     assert (np.asarray(m.idx_j)[v] < 8).all()
+
+
+def test_match_and_filter_chunked_equals_unchunked():
+    """The capacity-chunked early-exit sweep (capacity > 128) must produce
+    exactly the unchunked cascade's outputs (explicit ``slots`` forces the
+    unchunked path)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from bundlefusion_tpu.io.synthetic import default_intrinsics, make_sequence
+    from bundlefusion_tpu.ops.image import resample_nearest, rgb_to_intensity
+    from bundlefusion_tpu.ops.sift import SiftConfig, detect_and_describe
+    from bundlefusion_tpu.pipeline.frames import (
+        create_dense_cache,
+        create_keyframe_store,
+        store_cache_frame,
+        store_keypoints,
+    )
+    from bundlefusion_tpu.pipeline.frontend import FrontendParams, match_and_filter
+    from bundlefusion_tpu.ops.filters import DenseVerifyParams
+
+    intr = default_intrinsics(160, 120)
+    cache_intr = intr.scaled(40, 30)
+    sift = SiftConfig(num_octaves=3, target_keys=64,
+                      max_candidates_per_octave=256, min_scale=1.0,
+                      dog_thresh=0.004)
+    G = 192  # > the 128-slot chunk size -> chunked path
+    n = 6
+    seq = make_sequence(n, intr=intr)
+    keys = create_keyframe_store(G, sift.target_keys)
+    cache = create_dense_cache(G, cache_intr.height, cache_intr.width)
+    for i in range(n):
+        d = jnp.asarray(seq["depth"][i])
+        c = jnp.asarray(seq["color"][i])
+        kp = detect_and_describe(rgb_to_intensity(c), d, sift)
+        keys = store_keypoints(keys, jnp.asarray(i), kp)
+        keys = keys._replace(frame_valid=keys.frame_valid.at[i].set(True))
+        cache = store_cache_frame(cache, jnp.asarray(i), d, c, cache_intr)
+
+    fp = FrontendParams(min_num_matches=4, dense=DenseVerifyParams())
+    cur = jnp.asarray(n - 1)
+    out_chunked = match_and_filter(cur, keys, cache, intr, cache_intr, fp)
+    out_ref = match_and_filter(
+        cur, keys, cache, intr, cache_intr, fp,
+        slots=jnp.arange(G, dtype=jnp.int32),
+    )
+    assert bool(np.asarray(out_chunked["pair_valid"]).any())
+    # decision outputs must agree everywhere; per-match payloads only where
+    # inlier_mask holds (invalid lanes are don't-care in both paths and the
+    # unchunked path leaves raw matcher garbage there)
+    for k in ("pair_valid", "num_inliers", "inlier_mask"):
+        np.testing.assert_array_equal(
+            np.asarray(out_chunked[k]), np.asarray(out_ref[k]), err_msg=k
+        )
+    im = np.asarray(out_ref["inlier_mask"])
+    for k in ("idx_cur", "idx_prev"):
+        np.testing.assert_array_equal(
+            np.asarray(out_chunked[k])[im], np.asarray(out_ref[k])[im],
+            err_msg=k,
+        )
+    np.testing.assert_allclose(
+        np.asarray(out_chunked["p_cur"])[im],
+        np.asarray(out_ref["p_cur"])[im], atol=1e-6,
+    )
+    pv = np.asarray(out_ref["pair_valid"])
+    np.testing.assert_allclose(
+        np.asarray(out_chunked["transforms"])[pv],
+        np.asarray(out_ref["transforms"])[pv], atol=1e-6,
+    )

@@ -145,3 +145,36 @@ def test_append_overflow(rng):
     )
     assert int(store.count) == 16
     assert int(store.valid_mask().sum()) == 16
+
+
+def test_compact_corrs_reclaims_capacity():
+    """compact_corrs reclaims invalidated slots (the reference's store is
+    append-only, AddCurrToResidualsCU; long runs with heavy pruning leak
+    capacity there)."""
+    import jax.numpy as jnp
+
+    from bundlefusion_tpu.solver.residuals import (
+        append_corrs,
+        compact_corrs,
+        create_corr_store,
+        invalidate_frame,
+    )
+
+    st = create_corr_store(32)
+    img_i = jnp.asarray([0, 1, 2, 3], jnp.int32)
+    img_j = jnp.asarray([1, 2, 3, 0], jnp.int32)
+    p = jnp.arange(12, dtype=jnp.float32).reshape(4, 3)
+    st = append_corrs(st, img_i, img_j, p, p + 1.0, jnp.ones(4, bool),
+                      key_i=img_i * 10, key_j=img_j * 10)
+    assert int(st.count) == 4
+    st = invalidate_frame(st, 1)  # kills corrs (0,1) and (1,2)
+    st2 = compact_corrs(st)
+    assert int(st2.count) == 2
+    ii = np.asarray(st2.img_i)
+    assert list(ii[:2]) == [2, 3] and (ii[2:] == -1).all()
+    # payloads follow their corrs
+    np.testing.assert_array_equal(np.asarray(st2.p_i[0]), np.asarray(p[2]))
+    np.testing.assert_array_equal(np.asarray(st2.key_j[1]), 0)
+    # appending after compaction reuses the reclaimed space
+    st3 = append_corrs(st2, img_i, img_j, p, p + 1.0, jnp.ones(4, bool))
+    assert int(st3.count) == 6
