@@ -163,6 +163,7 @@ def main():
         eng.process_frame(handles[i])
     jax.block_until_ready((eng.local, eng.glob, eng.table))
 
+    reint_before = (eng.reint_frames, eng.reint_ops_total)
     t0 = time.perf_counter()
     for i in range(warmup_frames, n_frames):
         eng.process_frame(handles[i])
@@ -170,6 +171,10 @@ def main():
     elapsed = time.perf_counter() - t0
     timed = n_frames - warmup_frames
     fps = timed / elapsed
+    reint_timed = (
+        eng.reint_frames - reint_before[0],
+        eng.reint_ops_total - reint_before[1],
+    )
     link_after_ms = _link_ms()
 
     # device-time attribution (CUDATimer analog): replay the next frames
@@ -242,6 +247,10 @@ def main():
         "pairs_dropped": eng.pairs_dropped_total,
         "reint_frames": eng.reint_frames,
         "reint_ops": eng.reint_ops_total,
+        # rows frames WITHIN the timed fps window (rows dispatches cost
+        # ~4x a plain frame; this attributes the share honestly)
+        "reint_frames_timed": reint_timed[0],
+        "reint_ops_timed": reint_timed[1],
     }
     print(json.dumps(out))
 
