@@ -125,6 +125,7 @@ def _apply_kernel(
     out_sems,     # DMA (2, 3)
     *,
     OPS: int,
+    ablate,
     H: int,
     W: int,
     HP: int,
@@ -388,6 +389,22 @@ def _apply_kernel(
                     anyv = jnp.any(um_c >= 0) & (zmin_c <= zmax_mm)
 
                     def go():
+                        # trace-time ablation hooks (micro-benchmarks only;
+                        # values are WRONG under all_win2 / nosamp)
+                        if ablate == "nosamp":
+                            for ch in range(5):
+                                samp[ch, pl.ds(off, HT)] = jnp.zeros((HT, V))
+                            return
+                        if ablate == "all_win2":
+                            min_u0 = jnp.min(jnp.where(um_c >= 0, um_c, W))
+                            u0f = jnp.clip(min_u0 & ~7, 0, (W - WIN2) & ~7)
+                            min_v0 = jnp.min(jnp.where(vm_c >= 0, vm_c, HP))
+                            v0f = jnp.clip(min_v0, 0, HP - VW)
+                            um_cl = jnp.clip(um_c - u0f, 0, WIN2 - 1) + u0f
+                            vm_cl = jnp.clip(vm_c - v0f, 0, VW - 1) + v0f
+                            samp_win(off, WIN2, pl.multiple_of(u0f, 8),
+                                     u_ids_win2, v0f, um_cl, vm_cl)
+                            return
                         min_u = jnp.min(jnp.where(um_c >= 0, um_c, W))
                         max_u = jnp.max(um_c)
                         # clamp to a multiple of 8 unconditionally: the
@@ -622,6 +639,7 @@ def apply_tsdf_ops(
     intr: CameraIntrinsics,
     params: TsdfParams,
     interpret: bool = False,
+    ablate: str | None = None,
 ) -> VoxelBlockTable:
     """Apply a batch of (de)integration ops in ONE in-place kernel sweep.
 
@@ -678,6 +696,7 @@ def apply_tsdf_ops(
     kernel = partial(
         _apply_kernel,
         OPS=OPS,
+        ablate=ablate,
         H=H,
         W=W,
         HP=HP,

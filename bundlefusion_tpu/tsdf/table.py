@@ -251,11 +251,17 @@ def allocate_packed(
     missing = ~present & (packed_raw != EMPTY_KEY)
     num_missing = jnp.sum(missing.astype(jnp.int32))
 
-    # The cond carries ONLY the small index arrays (keys/slots/free list) —
-    # routing the multi-GB voxel payload through a lax.cond costs full
-    # copies.
+    # The cond carries ONLY the small index arrays (keys/slots + scalars) —
+    # every branch OUTPUT is materialized by XLA, so routing the 67 MB
+    # ``slot_geo`` (or the payload) through it costs full copies (~4.7 ms
+    # measured per no-merge frame at the bench config). The slot-map
+    # updates happen unconditionally below via drop-scatters: when nothing
+    # is missing every index is out of bounds and the scatter is a cheap
+    # no-op pass-through.
+    num_blocks = table.free_list.shape[0]
+    free_list = table.free_list  # closed over by merge; never modified
 
-    def merge(keys0, slots0, free_list0, free_count0, fails0, slot_keys0, slot_geo0, hw0):
+    def merge(keys0, slots0, free_count0, fails0, hw0):
         packed = jnp.sort(packed_raw)
         uniq = _unique_sorted_mask(packed)
         pos = jnp.clip(jnp.searchsorted(keys0, packed), 0, keys0.shape[0] - 1)
@@ -267,10 +273,9 @@ def allocate_packed(
         num_new = jnp.minimum(num_new_req, free_count0)
         can_alloc = is_new & (rank < num_new)
         # pop from the top of the free-list stack
-        num_blocks = free_list0.shape[0]
         take_pos = free_count0 - 1 - rank
         new_slot = jnp.where(
-            can_alloc, free_list0[jnp.clip(take_pos, 0, num_blocks - 1)], -1
+            can_alloc, free_list[jnp.clip(take_pos, 0, num_blocks - 1)], -1
         )
         # merge: concat and re-sort; EMPTY keys sort to the tail, truncated
         new_keys = jnp.where(can_alloc, packed, EMPTY_KEY)
@@ -282,50 +287,55 @@ def allocate_packed(
         # capacity overflow check: a real key beyond capacity is dropped
         dropped = jnp.sum((all_keys_sorted[cap:] != EMPTY_KEY).astype(jnp.int32))
         fails = fails0 + (num_new_req - num_new) + dropped
-        # slot-major inverse map + occupancy high-water for the linear kernel
+        # slot-major scatter targets for the unconditional update below
         scatter_to = jnp.where(can_alloc, new_slot, num_blocks + 1)
-        slot_keys = slot_keys0.at[scatter_to].set(packed, mode="drop")
-        # per-slot geometry rows for the fused kernel: block coords (in
-        # block units — the kernel scales by block size) + live flag
-        coords = unpack_key(packed).astype(jnp.float32)
-        geo_rows = jnp.zeros((packed.shape[0], 128), jnp.float32)
-        geo_rows = geo_rows.at[:, :3].set(coords)
-        geo_rows = geo_rows.at[:, 3].set(1.0)
-        slot_geo = slot_geo0.at[scatter_to].set(geo_rows, mode="drop")
         hw = jnp.maximum(
             hw0, jnp.max(jnp.where(can_alloc, new_slot + 1, 0))
         )
         return (
             all_keys_sorted[:cap],
             all_slots[order][:cap],
-            free_list0,
             free_count0 - num_new,
             fails,
-            slot_keys,
-            slot_geo,
             hw,
+            scatter_to,
+            packed,
         )
 
-    def no_merge(keys0, slots0, free_list0, free_count0, fails0, slot_keys0, slot_geo0, hw0):
-        return (keys0, slots0, free_list0, free_count0, fails0, slot_keys0, slot_geo0, hw0)
+    def no_merge(keys0, slots0, free_count0, fails0, hw0):
+        # all indices out of bounds -> both scatters below drop everything
+        return (
+            keys0,
+            slots0,
+            free_count0,
+            fails0,
+            hw0,
+            jnp.full((packed_raw.shape[0],), num_blocks + 1, jnp.int32),
+            packed_raw,
+        )
 
-    keys, slots, free_list, free_count, fails, slot_keys, slot_geo, hw = jax.lax.cond(
+    keys, slots, free_count, fails, hw, scatter_to, packed_vals = jax.lax.cond(
         num_missing > 0,
         merge,
         no_merge,
         table.keys,
         table.slots,
-        table.free_list,
         table.free_count,
         table.num_alloc_failures,
-        table.slot_keys,
-        table.slot_geo,
         table.high_water,
     )
+    # slot-major inverse map + per-slot geometry rows for the fused kernel:
+    # block coords (in block units — the kernel scales by block size) +
+    # live flag. Unconditional: out-of-bounds rows drop.
+    slot_keys = table.slot_keys.at[scatter_to].set(packed_vals, mode="drop")
+    coords = unpack_key(packed_vals).astype(jnp.float32)
+    geo_rows = jnp.zeros((packed_vals.shape[0], 128), jnp.float32)
+    geo_rows = geo_rows.at[:, :3].set(coords)
+    geo_rows = geo_rows.at[:, 3].set(1.0)
+    slot_geo = table.slot_geo.at[scatter_to].set(geo_rows, mode="drop")
     return table._replace(
         keys=keys,
         slots=slots,
-        free_list=free_list,
         free_count=free_count,
         num_alloc_failures=fails,
         slot_keys=slot_keys,
@@ -399,6 +409,95 @@ def free_blocks(table: VoxelBlockTable, free_mask) -> VoxelBlockTable:
         num_alloc_failures=table.num_alloc_failures + uncleared,
         slot_keys=slot_keys,
         slot_geo=slot_geo,
+    )
+
+
+def defrag_prefix(table: VoxelBlockTable, window: int) -> VoxelBlockTable:
+    """Sort the first ``window`` payload rows by packed block key.
+
+    Why: the fused sweep kernel (``apply_pallas.py``) samples images with
+    per-chunk one-hot windows whose cost scales with each 8-slot chunk's
+    projected u-span. Slots are handed out in allocation order, so chunks
+    mix blocks from different frames' frontiers and fall back to the
+    full-width sampling paths (measured at the bench operating point:
+    148 of 288 chunks full-width, 204 GMACs/frame vs ~40 for coherent
+    strips). Key-sorting the payload restores the x-strip property the
+    kernel's windows were designed for (packed key = z | y | x with x
+    fastest), and compacts live rows to a dense prefix (fewer tiles).
+
+    ``window`` is static (a jit specialization): XLA row gathers on the
+    (8, 128)-tiled payload amplify HBM traffic ~8x, so defragging the full
+    200K-block table every time would cost ~40 ms. Slots are allocated
+    ascending and re-compacted by every defrag, so occupancy stays inside a
+    window ~= live blocks + allocations since the last defrag; size it from
+    the scene scale (engine knob ``defrag_every`` / ``defrag_window``).
+    Rows at ``window`` and beyond are left untouched (a partial defrag is
+    still valid — their keys/slots/free entries are preserved).
+
+    No reference counterpart: the reference's bucketed hash has no payload
+    -order-sensitive consumer (CUDA gathers per voxel); this is TPU-native
+    maintenance for the linear-sweep design.
+    """
+    N = table.num_blocks
+    window = min(window, N)
+    sk = table.slot_keys[:window]
+    order = jnp.argsort(sk)                      # EMPTY (int32 max) sorts last
+    sk_sorted = sk[order]
+    live_sorted = sk_sorted != EMPTY_KEY
+    n_live = jnp.sum(live_sorted.astype(jnp.int32))
+
+    # payload: gather rows into key order; dead rows zero (this also clears
+    # any stale payload from frees beyond FREE_COMPACT)
+    lf = live_sorted[:, None].astype(jnp.float32)
+    sdf = table.sdf.at[:window].set(table.sdf[:window][order] * lf)
+    weight = table.weight.at[:window].set(table.weight[:window][order] * lf)
+    color = table.color.at[:window].set(table.color[:window][order] * lf)
+    slot_geo = table.slot_geo.at[:window].set(table.slot_geo[:window][order] * lf)
+    slot_keys = table.slot_keys.at[:window].set(
+        jnp.where(live_sorted, sk_sorted, EMPTY_KEY)
+    )
+
+    # key index: keys stay put; a key whose old slot was inside the window
+    # moves to its rank among the window's live keys (sk_sorted is unique
+    # ascending, so rank == searchsorted position)
+    in_window = (table.slots >= 0) & (table.slots < window) & (
+        table.keys != EMPTY_KEY
+    )
+    new_pos = jnp.clip(
+        jnp.searchsorted(sk_sorted, table.keys), 0, window - 1
+    ).astype(jnp.int32)
+    slots = jnp.where(in_window, new_pos, table.slots)
+
+    # free list: window slots [n_live, window) are now the free ones; keep
+    # free slots >= window (compacted to the bottom of the stack) and stack
+    # the window's free slots on top, descending so slot n_live pops first
+    idx = jnp.arange(table.free_list.shape[0], dtype=jnp.int32)
+    valid_entry = idx < table.free_count
+    big = valid_entry & (table.free_list >= window)
+    n_big = jnp.sum(big.astype(jnp.int32))
+    big_rank = jnp.cumsum(big.astype(jnp.int32)) - 1
+    fl = jnp.full_like(table.free_list, -1).at[
+        jnp.where(big, big_rank, N)
+    ].set(jnp.where(big, table.free_list, -1), mode="drop")
+    n_small = window - n_live
+    new_fc = n_big + n_small
+    in_small = (idx >= n_big) & (idx < new_fc)
+    fl = jnp.where(in_small, window - 1 - (idx - n_big), fl)
+
+    # occupancy: if nothing lives beyond the window the prefix is compact
+    any_beyond = jnp.any(table.slot_keys[window:N] != EMPTY_KEY)
+    hw = jnp.where(any_beyond, table.high_water, n_live).astype(jnp.int32)
+
+    return table._replace(
+        slots=slots,
+        sdf=sdf,
+        weight=weight,
+        color=color,
+        free_list=fl,
+        free_count=new_fc,
+        slot_keys=slot_keys,
+        slot_geo=slot_geo,
+        high_water=hw,
     )
 
 
