@@ -23,8 +23,9 @@ XLA collectives over ICI):
   runs the MXU matcher against its shard (embarrassingly parallel).
 
 Single-chip ``solver.gn_pcg.solve_sparse`` and this module share the same
-math (``build_sparse_pair_system`` / ``pair_incidence`` / the PCG body);
-this module wraps the stages in ``shard_map`` over a 1-D mesh.
+math (``build_sparse_pair_system`` / ``make_pair_seg`` segment reductions /
+the PCG body); this module wraps the stages in ``shard_map`` over a 1-D
+mesh.
 
 The round-2 design psum-ed a scatter-add J/JT rebuild per PCG iteration
 (O(C*. ) work + a collective per linear iteration) and measured 0.07
@@ -52,7 +53,7 @@ from bundlefusion_tpu.solver.gn_pcg import (
     _pair_rhs,
     _res_batch,
     build_sparse_pair_system,
-    pair_incidence,
+    make_pair_seg,
     sort_corrs_by_pair,
 )
 from bundlefusion_tpu.solver.residuals import CorrStore
@@ -87,11 +88,12 @@ def _pair_gather_gn(poses, free_f, sc, axis: str, params: SolverParams, w_sqrt):
 
     # static pair->pose structure, gathered once per solve (a pair whose
     # corrs straddle a shard boundary appears twice; its two partial
-    # blocks are additive through the incidence matmuls)
+    # blocks are additive through the segment reductions). The gathered
+    # list is only per-shard sorted, so the i-side needs its own perm.
     pair_i_g = jax.lax.all_gather(sc.pair_i, axis, tiled=True)
     pair_j_g = jax.lax.all_gather(sc.pair_j, axis, tiled=True)
     pair_v_g = jax.lax.all_gather(sc.pair_valid, axis, tiled=True)
-    oh_i, oh_j = pair_incidence(pair_i_g, pair_j_g, pair_v_g, N)
+    ps = make_pair_seg(pair_i_g, pair_j_g, pair_v_g, N, assume_sorted_i=False)
 
     def gn_iter(it, carry):
         poses, done = carry
@@ -102,15 +104,15 @@ def _pair_gather_gn(poses, free_f, sc, axis: str, params: SolverParams, w_sqrt):
         Hg = jax.lax.all_gather(H, axis, tiled=True)      # [P_tot,12,12]
         bg = jax.lax.all_gather(b, axis, tiled=True)      # [P_tot,12]
 
-        rhs = -_pair_rhs(bg, oh_i, oh_j) * free_f
-        Pm = _pair_precond(Hg, oh_i, oh_j, N) + jnp.eye(6) * 1e-6
+        rhs = -_pair_rhs(bg, ps, N) * free_f
+        Pm = _pair_precond(Hg, ps, N) + jnp.eye(6) * 1e-6
         P_inv = jnp.linalg.inv(Pm)
 
         def apply_P(x):
             return jnp.einsum("nij,nj->ni", P_inv, x) * free_f
 
         def A(x):
-            return _pair_matvec_f32(Hg, oh_i, oh_j, x * free_f) * free_f
+            return _pair_matvec_f32(Hg, ps, x * free_f) * free_f
 
         # PCG, fully replicated on the reduced system: no collectives
         x0 = jnp.zeros_like(poses)

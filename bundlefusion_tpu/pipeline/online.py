@@ -92,10 +92,17 @@ from bundlefusion_tpu.pipeline.trajectory import TrajectoryManager
 from bundlefusion_tpu.solver.dense_term import DenseTermParams
 from bundlefusion_tpu.solver.gn_pcg import (
     SolverParams,
+    apply_pair_kill_sorted,
+    apply_pair_kill_store,
     compute_residuals,
+    guided_kill_mask,
+    invalidate_pair_sorted,
     max_residual,
+    max_residual_sorted,
+    presort_corrs,
     solve_bundle,
     solve_sparse,
+    solve_sparse_presorted,
 )
 from bundlefusion_tpu.solver.residuals import (
     CorrStore,
@@ -720,8 +727,14 @@ class BundleFusion:
                 kf_valid = kf_valid.at[g].set(kf_valid[g] & matched)
                 kv = kf_valid & (jnp.arange(G) <= g)
                 prev_poses = glob.poses  # trajectory before this solve
-                sposes, stats = solve_sparse(glob.poses, kv, corrs, global_solver)
-                dropped = stats.num_pairs_dropped
+                # ONE sort per boundary; the pruning rounds below only flip
+                # validity bits in the presorted working set (the round-4
+                # design paid a full store sort per prune round)
+                prob = presort_corrs(corrs, G, global_solver)
+                sposes = solve_sparse_presorted(
+                    glob.poses, kv, prob, global_solver
+                )
+                dropped = prob.sc.dropped
 
                 # ---- residual pruning, multiple rounds per solve ----
                 # (SBA::removeMaxResidualCUDA, SBA.cpp:169-204; the reference
@@ -729,49 +742,38 @@ class BundleFusion:
                 # s_numOptPerResidualRemoval=1 — one solve per submap here,
                 # so run up to max_prune_rounds rounds to match cadence)
                 def prune_round(carry, _):
-                    corrs, sposes = carry
-                    mr, ci = max_residual(sposes, corrs)
-                    fa = corrs.img_i[ci]
-                    fb = corrs.img_j[ci]
+                    corrs, prob, sposes = carry
+                    mr, fa, fb = max_residual_sorted(sposes, prob)
                     do = (mr > bundling.opt_max_res_thresh) & (fa >= 0) & (fb >= 0)
 
-                    def prune(c):
+                    def prune(cp):
+                        c, pr = cp
                         c = invalidate_image_pair(c, fa, fb)
+                        pr = invalidate_pair_sorted(pr, fa, fb)
                         if bundling.use_guided_remove:
                             # NEW_GUIDED_REMOVE (CUDASolverBundling.cpp:298-427):
                             # when badly off, also remove long-range pairs of
                             # the newest keyframe whose residual is high now
                             # AND was >1.5x higher under the previous
                             # trajectory (a bad loop closure, not drift)
-                            r_now, v_ = compute_residuals(sposes, c)
-                            m_now = jnp.max(jnp.abs(r_now), -1)
-                            r_prev, _ = compute_residuals(prev_poses, c)
-                            m_prev = jnp.max(jnp.abs(r_prev), -1)
-                            hi_thresh = jnp.clip(0.2 * mr, 0.1, 0.4)
-                            qual = (
-                                v_ & (mr > 0.2)
-                                & (m_now > hi_thresh)
-                                & (c.img_i == g)
-                                & (jnp.abs(c.img_i - c.img_j) > 10)
-                                & (m_prev > 1.5 * m_now)
+                            killed = guided_kill_mask(
+                                sposes, prev_poses, pr, g, mr, G
                             )
-                            pid = jnp.where(v_, c.img_i * G + c.img_j, G * G)
-                            killed = jnp.zeros((G * G + 1,), bool).at[
-                                jnp.where(qual, pid, G * G)
-                            ].set(True, mode="drop")
-                            c = c._replace(
-                                img_i=jnp.where(killed[pid], -1, c.img_i)
-                            )
-                        p2, _ = solve_sparse(prev_poses, kv, c, global_solver)
-                        return c, p2
+                            c = apply_pair_kill_store(c, killed, G)
+                            pr = apply_pair_kill_sorted(pr, killed, G)
+                        p2 = solve_sparse_presorted(
+                            prev_poses, kv, pr, global_solver
+                        )
+                        return c, pr, p2
 
-                    corrs, sposes = jax.lax.cond(
-                        do, prune, lambda c: (c, sposes), corrs
+                    corrs, prob, sposes = jax.lax.cond(
+                        do, prune, lambda cp: (cp[0], cp[1], sposes),
+                        (corrs, prob),
                     )
-                    return (corrs, sposes), do
+                    return (corrs, prob, sposes), do
 
-                (corrs, sposes), _ = jax.lax.scan(
-                    prune_round, (corrs, sposes), None,
+                (corrs, prob, sposes), _ = jax.lax.scan(
+                    prune_round, (corrs, prob, sposes), None,
                     length=bundling.max_prune_rounds,
                 )
 

@@ -23,16 +23,18 @@ incidence matmuls, which cost O(C*N) memory/FLOPs per PCG step):
    cumulative sum + two row-gathers at segment boundaries — both fast on
    TPU) into per-pair 12x12 JtJ blocks and 12-vector Jtr, exactly like the
    dense term's ``DensePairSystem``;
-3. per PCG iteration: matvecs through tiny [P, N] one-hot matmuls on the
-   MXU over the P active PAIRS (P <= max_pairs, orders of magnitude
-   smaller than C), plus a [P, 12, 12] block contraction.
+3. per PCG iteration: O(P) matvecs — two [P, 6] pose gathers, one
+   [P, 12, 12] block contraction, and two SORTED segment reductions back
+   into per-pose rows (``PairSeg``). No [P, N] incidence materializes:
+   at the capacity regime (P = 131072 pairs, N = 640+ keyframes) the
+   round-4 one-hot form read ~670 MB of HBM per PCG iteration and was
+   the dominant super-linear boundary cost.
 
-At the reference's capacity (N=1200 keyframes, C ~ 10^6 corrs,
-zParametersBundlingDefault.txt:30-32) the PCG step touches ~P*N bf16
-one-hots (tens of MB) instead of a C*N (multi-GB) incidence matrix.
 Block-Jacobi preconditioning (6x6 per pose, a strict upgrade over the
 reference's diagonal), fixed shapes throughout, invalid corrs carry zero
-weight.
+weight. A boundary's residual-pruning rounds reuse one sort
+(``presort_corrs`` + ``solve_sparse_presorted``); pruning only flips
+validity bits.
 """
 
 from __future__ import annotations
@@ -48,6 +50,20 @@ from bundlefusion_tpu.geometry.lie import so3_exp
 from bundlefusion_tpu.solver.residuals import CorrStore
 
 _BIG = jnp.int32(2**31 - 1)
+
+
+def _chunk_size(C: int) -> int | None:
+    """Chunk length for capacity-C passes, or None for a single pass.
+
+    Large chunks matter: the round-4 passes used fixed 16384-corr chunks,
+    which at the 2^23 capacity store meant 512 sequential loop iterations
+    of tiny work per reduction — loop overhead, not bandwidth. A chunk of
+    262144 keeps transient buffers (per-corr Jacobians etc.) tens of MB
+    while cutting the sequential depth 16x."""
+    for kb in (262144, 65536, 16384):
+        if C > kb and C % kb == 0:
+            return kb
+    return None
 
 
 @dataclass(frozen=True)
@@ -101,15 +117,20 @@ def compute_residuals(poses, corrs: CorrStore):
 
 
 def _chunked_residual_reduce(poses, corrs: CorrStore, reduce_fn, init):
-    """Run ``reduce_fn(acc, r_chunk, v_chunk, start)`` over live-prefix
-    chunks of the corr store (appends are a prefix; the capacity tail is
-    skipped by a cond). Falls back to one pass for small/ragged stores."""
+    """Run ``reduce_fn(acc, r_chunk, v_chunk, start)`` over chunks of the
+    corr store up to the APPEND CURSOR (``corrs.count``); the capacity tail
+    beyond the cursor is skipped by a cond. The guard must be the cursor,
+    not the live count: invalidation (``invalidate_image_pair/_frame``)
+    punches holes without moving the cursor, so live corrs legally sit at
+    any index < count until compaction re-establishes the prefix
+    (``compact_corrs`` resets count to the live count). Falls back to one
+    pass for small/ragged stores."""
     C = corrs.capacity
-    KB = 16384
-    if C <= KB or C % KB != 0:
+    KB = _chunk_size(C)
+    if KB is None:
         r, v = compute_residuals(poses, corrs)
         return reduce_fn(init, r, v, 0)
-    n_live = jnp.sum(corrs.valid_mask().astype(jnp.int32))
+    cursor = corrs.count
 
     def body(cidx, acc):
         start = cidx * KB
@@ -123,7 +144,7 @@ def _chunked_residual_reduce(poses, corrs: CorrStore, reduce_fn, init):
             r = jnp.where(v[:, None], r, 0.0)
             return reduce_fn(acc, r, v, start)
 
-        return jax.lax.cond(start < n_live, do, lambda a: a, acc)
+        return jax.lax.cond(start < cursor, do, lambda a: a, acc)
 
     return jax.lax.fori_loop(0, C // KB, body, init)
 
@@ -195,6 +216,46 @@ class SortedCorrs(NamedTuple):
     dropped: jax.Array   # [] int32: segments beyond the P cap
 
 
+def _ranked_working_indices(corrs: CorrStore, num_frames: int, working: int):
+    """Pair-budgeted working-set selection for the overflow regime.
+
+    When live corrs exceed the working capacity, the old policy (keep the
+    lowest-indexed = OLDEST prefix) preferentially dropped fresh loop
+    closures — the most valuable residuals in the store. This ranks every
+    live corr by (round-robin rank within its pair, pair recency): rank 0
+    is each pair's newest corr, so every pair keeps ~working/P corrs before
+    any pair gets a second helping, and within a rank newer pairs (recent
+    loop closures) win. The reference bounds the same work per-image
+    instead (``m_maxCorrPerImage`` = clamp(maxRes/maxIm, 1000, 4000),
+    CUDASolverBundling.cpp:39); a per-pair budget is the equivalent bound
+    for a pair-segment solver. Returns ([working] original indices,
+    [working] keep-mask)."""
+    C = corrs.capacity
+    idx = jnp.arange(C)
+    v = corrs.valid_mask()
+    pid = jnp.where(v, corrs.img_i * num_frames + corrs.img_j, _BIG)
+    # group by pair, newest-first within pair: stable argsort of the
+    # reversed pid array (reversal makes "newest" the stable winner)
+    o_pair = jnp.argsort(pid[::-1], stable=True)
+    orig_g = C - 1 - o_pair           # original index of each grouped entry
+    pid_g = pid[::-1][o_pair]
+    vg = pid_g != _BIG
+    is_start = vg & jnp.concatenate(
+        [jnp.ones((1,), bool), pid_g[1:] != pid_g[:-1]]
+    )
+    seg_start = jax.lax.cummax(jnp.where(is_start, idx, 0))
+    rank_g = jnp.where(vg, idx - seg_start, _BIG)
+    # pair recency = original index of the pair's newest corr (appends are
+    # chronological); smaller key2 = newer pair
+    rec_g = orig_g[seg_start]
+    key2_g = jnp.where(vg, C - 1 - rec_g, _BIG)
+    # lexicographic (rank, newest-pair-first): stable sort by key2 then rank
+    o_b = jnp.argsort(key2_g, stable=True)
+    o_c = jnp.argsort(rank_g[o_b], stable=True)
+    sel = o_b[o_c[:working]]
+    return orig_g[sel], rank_g[sel] != _BIG
+
+
 def sort_corrs_by_pair(
     corrs: CorrStore, num_frames: int, max_pairs: int,
     working: int | None = None,
@@ -205,18 +266,28 @@ def sort_corrs_by_pair(
     store, live corrs are COMPACTED (one cumsum pass) into a [working]
     array before sorting, so the argsort + order-gathers scale with the
     working set instead of store capacity (262144 at reference defaults —
-    the full-capacity sort alone cost ~15 ms per solve). Live corrs beyond
-    ``working`` are dropped and surfaced in ``dropped``."""
+    the full-capacity sort alone cost ~15 ms per solve). On overflow (live
+    > working) the selection switches to a pair-budgeted ranking that keeps
+    every pair's newest corrs (see ``_ranked_working_indices``); the
+    excess is surfaced in ``dropped``."""
     C = corrs.capacity
     extra_dropped = jnp.asarray(0, jnp.int32)
     if working is not None and working < C:
         vfull = corrs.valid_mask()
-        idx = jnp.nonzero(vfull, size=working, fill_value=C)[0]
-        extra_dropped = jnp.maximum(
-            jnp.sum(vfull.astype(jnp.int32)) - working, 0
+        n_live_full = jnp.sum(vfull.astype(jnp.int32))
+        extra_dropped = jnp.maximum(n_live_full - working, 0)
+
+        def cheap(_):
+            i = jnp.nonzero(vfull, size=working, fill_value=C)[0]
+            return i, i < C
+
+        def ranked(_):
+            return _ranked_working_indices(corrs, num_frames, working)
+
+        idx, ok = jax.lax.cond(
+            n_live_full > working, ranked, cheap, operand=None
         )
         ci = jnp.clip(idx, 0, C - 1)
-        ok = idx < C
         corrs = corrs._replace(
             img_i=jnp.where(ok, corrs.img_i[ci], -1),
             img_j=jnp.where(ok, corrs.img_j[ci], -1),
@@ -293,8 +364,8 @@ def build_sparse_pair_system(poses, sc: SortedCorrs, w_sqrt, n_live=None):
             contrib, seg_id, num_segments=P_cap + 1, indices_are_sorted=True
         )
 
-    KB = 16384
-    if n_live is None or C <= KB or C % KB != 0:
+    KB = _chunk_size(C)
+    if n_live is None or KB is None:
         seg = contrib_of(
             sc.valid, sc.img_i, sc.img_j, sc.p_i, sc.p_j, sc.seg_id
         )[:P_cap]
@@ -321,62 +392,322 @@ def build_sparse_pair_system(poses, sc: SortedCorrs, w_sqrt, n_live=None):
     return H, b
 
 
-def pair_incidence(pair_i, pair_j, pair_valid, num_frames: int):
-    """One-hot pair->pose incidence [P, N] f32 (built once per solve; the
-    PCG matvecs ride the MXU through these — one-hot contractions are
-    exact, every accumulation has a single nonzero addend)."""
-    n = jnp.arange(num_frames)
-    oh_i = (pair_i[:, None] == n[None]) & pair_valid[:, None]
-    oh_j = (pair_j[:, None] == n[None]) & pair_valid[:, None]
-    return oh_i.astype(jnp.float32), oh_j.astype(jnp.float32)
+class PairSeg(NamedTuple):
+    """Segment structure for pair->pose reductions, built once per solve.
+
+    Replaces the former [P, N] one-hot incidence matmuls: at the capacity
+    regime (P = 131072 pairs, N = 640 keyframes) the two one-hots cost
+    ~670 MB of HBM and every PCG iteration re-read them — the dominant
+    super-linear boundary cost in the round-4 capacity run. The
+    segment-sum form is O(P) per matvec: two [P, 6] gathers, one
+    [P, 12, 12] block contraction, two sorted segment reductions.
+    """
+
+    pair_i: jax.Array     # [P] pose index i (clamped for gathers)
+    pair_j: jax.Array     # [P]
+    order_i: jax.Array    # [P] permutation sorting pairs by i (identity
+                          #     perm when pair_i arrives pre-sorted)
+    seg_i: jax.Array      # [P] pair_i[order_i], invalid -> N (sorted)
+    order_j: jax.Array    # [P] permutation sorting pairs by j
+    seg_j: jax.Array      # [P] pair_j[order_j], invalid -> N (sorted)
 
 
-def _pair_matvec_f32(H, oh_i, oh_j, x, n_pairs=None):
-    """x [N, 6] -> sum_p S_p^T H_p S_p x.
-
-    ``n_pairs``: optional live-pair count; pairs are a sorted prefix, so
-    the [P, N] one-hot matmuls run in P-chunks with a cond skip — the
-    per-PCG-iteration cost scales with live pairs, not pair capacity
-    (at N=1200/P=4096 the dense one-hots cost ~80 MB of reads per
-    iteration; live runs are typically a few hundred pairs)."""
-    P = oh_i.shape[0]
-    PB = 512
-    if n_pairs is None or P <= PB or P % PB != 0:
-        xi = jnp.dot(oh_i, x)
-        xj = jnp.dot(oh_j, x)
-        xij = jnp.concatenate([xi, xj], axis=-1)          # [P, 12]
-        y = jnp.einsum("pab,pb->pa", H, xij)              # [P, 12]
-        out = jnp.dot(oh_i.T, y[:, :6])
-        return out + jnp.dot(oh_j.T, y[:, 6:])
-
-    def body(cidx, acc):
-        start = cidx * PB
-
-        def do(acc):
-            ohi = jax.lax.dynamic_slice_in_dim(oh_i, start, PB, 0)
-            ohj = jax.lax.dynamic_slice_in_dim(oh_j, start, PB, 0)
-            Hc = jax.lax.dynamic_slice_in_dim(H, start, PB, 0)
-            xi = jnp.dot(ohi, x)
-            xj = jnp.dot(ohj, x)
-            y = jnp.einsum("pab,pb->pa", Hc, jnp.concatenate([xi, xj], -1))
-            return acc + jnp.dot(ohi.T, y[:, :6]) + jnp.dot(ohj.T, y[:, 6:])
-
-        return jax.lax.cond(start < n_pairs, do, lambda a: a, acc)
-
-    return jax.lax.fori_loop(0, P // PB, body, jnp.zeros_like(x))
+def make_pair_seg(
+    pair_i, pair_j, pair_valid, num_frames: int, assume_sorted_i: bool = True
+) -> PairSeg:
+    """Build the reduction structure. With ``assume_sorted_i`` (the
+    ``sort_corrs_by_pair`` contract: pairs come from a sort by
+    pid = i * N + j, invalid pairs form the tail) the i-side permutation is
+    the identity; pass False for pair lists that are only piecewise sorted
+    (e.g. all_gather-ed per-shard lists in the sharded solver)."""
+    N = num_frames
+    i_key = jnp.where(pair_valid, pair_i, N)
+    j_key = jnp.where(pair_valid, pair_j, N)
+    if assume_sorted_i:
+        order_i = jnp.arange(pair_i.shape[0])
+        seg_i = i_key
+    else:
+        order_i = jnp.argsort(i_key)
+        seg_i = i_key[order_i]
+    order_j = jnp.argsort(j_key)
+    return PairSeg(
+        pair_i=jnp.clip(pair_i, 0, N - 1),
+        pair_j=jnp.clip(pair_j, 0, N - 1),
+        order_i=order_i,
+        seg_i=seg_i,
+        order_j=order_j,
+        seg_j=j_key[order_j],
+    )
 
 
-def _pair_rhs(b, oh_i, oh_j):
-    out = jnp.dot(oh_i.T, b[:, :6])
-    return out + jnp.dot(oh_j.T, b[:, 6:])
+def _seg_reduce(ps: PairSeg, val_i, val_j, N: int):
+    """Sum per-pair i-side / j-side contributions into per-pose rows.
+    val_i / val_j: [P, D]. Returns [N, D]. ``N`` is static (PairSeg is a
+    pytree that flows through scan/cond carries, so the frame count cannot
+    live inside it without getting traced)."""
+    yi = jax.ops.segment_sum(
+        val_i[ps.order_i], ps.seg_i, num_segments=N + 1,
+        indices_are_sorted=True,
+    )
+    yj = jax.ops.segment_sum(
+        val_j[ps.order_j], ps.seg_j, num_segments=N + 1,
+        indices_are_sorted=True,
+    )
+    return yi[:N] + yj[:N]
 
 
-def _pair_precond(H, oh_i, oh_j, num_frames: int):
+def _pair_matvec_f32(H, ps: PairSeg, x):
+    """x [N, 6] -> sum_p S_p^T H_p S_p x via sorted segment reductions.
+    Invalid pairs carry zero H blocks (zeroed in the system build), so
+    their gathered x contributions vanish."""
+    xi = x[ps.pair_i]                                 # [P, 6]
+    xj = x[ps.pair_j]
+    xij = jnp.concatenate([xi, xj], axis=-1)          # [P, 12]
+    y = jnp.einsum("pab,pb->pa", H, xij)              # [P, 12]
+    return _seg_reduce(ps, y[:, :6], y[:, 6:], x.shape[0])
+
+
+def _pair_rhs(b, ps: PairSeg, N: int):
+    return _seg_reduce(ps, b[:, :6], b[:, 6:], N)
+
+
+def _pair_precond(H, ps: PairSeg, N: int):
     """Block-Jacobi 6x6 blocks: sum of each pose's ii/jj diagonal blocks."""
     Hii = H[:, :6, :6].reshape(-1, 36)
     Hjj = H[:, 6:, 6:].reshape(-1, 36)
-    P6 = jnp.dot(oh_i.T, Hii) + jnp.dot(oh_j.T, Hjj)
-    return P6.reshape(num_frames, 6, 6)
+    return _seg_reduce(ps, Hii, Hjj, N).reshape(N, 6, 6)
+
+
+class PresortedProblem(NamedTuple):
+    """One solve's sorted correspondence structure, reusable across the
+    residual-pruning rounds of a submap boundary (the round-4 design
+    re-sorted the full store once per prune round; pruning only flips
+    validity bits, the sort order never changes)."""
+
+    sc: SortedCorrs
+    ps: PairSeg
+    n_live: jax.Array   # length of the valid prefix in ``sc`` at sort time
+                        # (invalidation punches holes but never adds valid
+                        # entries beyond it, so it stays a correct bound)
+
+
+def presort_corrs(
+    corrs: CorrStore, num_frames: int, params: SolverParams
+) -> PresortedProblem:
+    P_cap = min(params.max_pairs, num_frames * (num_frames + 1) // 2 + 1)
+    sc = sort_corrs_by_pair(
+        corrs, num_frames, P_cap, working=params.max_working_corrs
+    )
+    ps = make_pair_seg(sc.pair_i, sc.pair_j, sc.pair_valid, num_frames)
+    n_live = jnp.sum(sc.valid.astype(jnp.int32))
+    return PresortedProblem(sc=sc, ps=ps, n_live=n_live)
+
+
+def solve_sparse_presorted(
+    poses, pose_valid, prob: PresortedProblem, params: SolverParams
+):
+    """GN/PCG over a presorted problem; returns the updated poses only
+    (no cost/max-residual passes — callers in the pruning loop use
+    ``max_residual_sorted``)."""
+    N = poses.shape[0]
+    w_sqrt = jnp.sqrt(jnp.asarray(params.sparse_weight, jnp.float32))
+    free = pose_valid & (jnp.arange(N) != 0)
+    free_f = free.astype(jnp.float32)[:, None]
+    sc, ps, n_live = prob
+
+    def gn_iter(it, carry):
+        poses, done = carry
+        H, b = build_sparse_pair_system(poses, sc, w_sqrt, n_live=n_live)
+        rhs = -_pair_rhs(b, ps, N) * free_f
+
+        P = _pair_precond(H, ps, N) + jnp.eye(6) * 1e-6
+        P_inv = jnp.linalg.inv(P)
+
+        def apply_P(x):
+            return jnp.einsum("nij,nj->ni", P_inv, x) * free_f
+
+        def A(x):
+            return _pair_matvec_f32(H, ps, x * free_f) * free_f
+
+        # PCG
+        x0 = jnp.zeros_like(poses)
+        r0 = rhs
+        z0 = apply_P(r0)
+        rz0 = jnp.sum(r0 * z0)
+
+        def pcg_body(state):
+            k, x, rr, z, p, rz = state
+            Ap = A(p)
+            pAp = jnp.sum(p * Ap)
+            alpha = jnp.where(jnp.abs(pAp) > 1e-20, rz / pAp, 0.0)
+            x = x + alpha * p
+            rr = rr - alpha * Ap
+            z = apply_P(rr)
+            rz_new = jnp.sum(rr * z)
+            beta = jnp.where(jnp.abs(rz) > 1e-20, rz_new / rz, 0.0)
+            return k + 1, x, rr, z, z + beta * p, rz_new
+
+        def pcg_cond(state):
+            k, x, rr, z, p, rz = state
+            return (k < params.num_pcg) & (jnp.abs(rz) > params.pcg_early_out)
+
+        state = (jnp.asarray(0), x0, r0, z0, z0, rz0)
+        _, delta, *_ = jax.lax.while_loop(pcg_cond, pcg_body, state)
+
+        max_delta = jnp.max(jnp.abs(delta))
+        new_poses = jnp.where(done, poses, poses + delta * free_f)
+        new_done = done | (max_delta < params.gn_early_out_delta)
+        return new_poses, new_done
+
+    poses_out, _ = jax.lax.fori_loop(
+        0, params.num_gn, gn_iter, (poses, jnp.asarray(False))
+    )
+    return poses_out
+
+
+def max_residual_sorted(poses, prob: PresortedProblem):
+    """Max |per-axis component| over the presorted working set + the image
+    pair (fa, fb) of the argmax corr (fa = -1 when nothing is valid).
+    The ``computeMaxResidual`` analog for the pruning loop — operating on
+    the working set the solve actually saw."""
+    sc, _, n_live = prob
+    C = sc.valid.shape[0]
+    KB = _chunk_size(C)
+
+    def red(acc, r, v, start, img_i, img_j):
+        best, fa, fb = acc
+        m = jnp.where(v, jnp.max(jnp.abs(r), axis=-1), -1.0)
+        i = jnp.argmax(m)
+        better = m[i] > best
+        return (
+            jnp.where(better, m[i], best),
+            jnp.where(better, img_i[i], fa),
+            jnp.where(better, img_j[i], fb),
+        )
+
+    init = (jnp.asarray(-1.0), jnp.asarray(-1, jnp.int32),
+            jnp.asarray(-1, jnp.int32))
+    if KB is None:
+        v = sc.valid
+        pi = _gather_poses(poses, sc.img_i)
+        pj = _gather_poses(poses, sc.img_j)
+        r = jnp.where(
+            v[:, None], _res_batch(pi, pj, sc.p_i, sc.p_j), 0.0
+        )
+        return red(init, r, v, 0, sc.img_i, sc.img_j)
+
+    def body(cidx, acc):
+        start = cidx * KB
+
+        def do(acc):
+            sl = lambda a: jax.lax.dynamic_slice_in_dim(a, start, KB, 0)
+            v = sl(sc.valid)
+            ii, jj = sl(sc.img_i), sl(sc.img_j)
+            pi = _gather_poses(poses, ii)
+            pj = _gather_poses(poses, jj)
+            r = jnp.where(
+                v[:, None], _res_batch(pi, pj, sl(sc.p_i), sl(sc.p_j)), 0.0
+            )
+            return red(acc, r, v, start, ii, jj)
+
+        return jax.lax.cond(start < n_live, do, lambda a: a, acc)
+
+    return jax.lax.fori_loop(0, C // KB, body, init)
+
+
+def invalidate_pair_sorted(prob: PresortedProblem, fa, fb) -> PresortedProblem:
+    """Flip validity bits of all working-set corrs on pair (fa, fb) —
+    the sorted structure is otherwise unchanged (fully-invalidated pairs
+    contribute zero blocks through the validity weights)."""
+    sc = prob.sc
+    kill = ((sc.img_i == fa) & (sc.img_j == fb)) | (
+        (sc.img_i == fb) & (sc.img_j == fa)
+    )
+    return prob._replace(sc=sc._replace(valid=sc.valid & ~kill))
+
+
+def apply_pair_kill_sorted(
+    prob: PresortedProblem, killed, num_frames: int
+) -> PresortedProblem:
+    """Apply a per-pair kill mask (``killed`` [N*N+1] bool, indexed by
+    pid = i * N + j) to the working set."""
+    sc = prob.sc
+    pid = jnp.where(
+        sc.valid, sc.img_i * num_frames + sc.img_j, num_frames * num_frames
+    )
+    return prob._replace(sc=sc._replace(valid=sc.valid & ~killed[pid]))
+
+
+def guided_kill_mask(
+    poses_now,
+    poses_prev,
+    prob: PresortedProblem,
+    cur_frame,
+    mr,
+    num_frames: int,
+    min_sep: int = 10,
+    mr_gate: float = 0.2,
+    prev_factor: float = 1.5,
+):
+    """NEW_GUIDED_REMOVE analog (CUDASolverBundling.cpp:298-427) over the
+    presorted working set: per-pair kill flags [N*N+1] for long-range pairs
+    of the newest keyframe whose residual is high NOW and was
+    ``prev_factor``x higher under the previous trajectory (a bad loop
+    closure, not drift). Chunked over the working arrays."""
+    sc, _, n_live = prob
+    C = sc.valid.shape[0]
+    NN = num_frames * num_frames
+    hi_thresh = jnp.clip(0.2 * mr, 0.1, 0.4)
+
+    def add_kills(killed, v, img_i, img_j, p_i, p_j):
+        pi_now = _gather_poses(poses_now, img_i)
+        pj_now = _gather_poses(poses_now, img_j)
+        m_now = jnp.max(jnp.abs(_res_batch(pi_now, pj_now, p_i, p_j)), -1)
+        pi_prev = _gather_poses(poses_prev, img_i)
+        pj_prev = _gather_poses(poses_prev, img_j)
+        m_prev = jnp.max(jnp.abs(_res_batch(pi_prev, pj_prev, p_i, p_j)), -1)
+        qual = (
+            v & (mr > mr_gate)
+            & (m_now > hi_thresh)
+            & (img_i == cur_frame)
+            & (jnp.abs(img_i - img_j) > min_sep)
+            & (m_prev > prev_factor * m_now)
+        )
+        pid = jnp.where(qual, img_i * num_frames + img_j, NN)
+        return killed.at[pid].set(True, mode="drop")
+
+    killed0 = jnp.zeros((NN + 1,), bool)
+    KB = _chunk_size(C)
+    if KB is None:
+        return add_kills(
+            killed0, sc.valid, sc.img_i, sc.img_j, sc.p_i, sc.p_j
+        ).at[NN].set(False)
+
+    def body(cidx, killed):
+        start = cidx * KB
+
+        def do(killed):
+            sl = lambda a: jax.lax.dynamic_slice_in_dim(a, start, KB, 0)
+            return add_kills(
+                killed, sl(sc.valid), sl(sc.img_i), sl(sc.img_j),
+                sl(sc.p_i), sl(sc.p_j),
+            )
+
+        return jax.lax.cond(start < n_live, do, lambda k: k, killed)
+
+    killed = jax.lax.fori_loop(0, C // KB, body, killed0)
+    return killed.at[NN].set(False)
+
+
+def apply_pair_kill_store(corrs: CorrStore, killed, num_frames: int) -> CorrStore:
+    """Apply a per-pair kill mask to the full store (bookkeeping twin of
+    ``apply_pair_kill_sorted``)."""
+    pid = jnp.where(
+        corrs.valid_mask(),
+        corrs.img_i * num_frames + corrs.img_j,
+        num_frames * num_frames,
+    )
+    return corrs._replace(img_i=jnp.where(killed[pid], -1, corrs.img_i))
 
 
 @partial(jax.jit, static_argnames=("params", "num_frames_static"))
@@ -398,72 +729,9 @@ def solve_sparse(
     Returns (poses, SolveStats).
     """
     N = poses.shape[0]
-    w_sqrt = jnp.sqrt(jnp.asarray(params.sparse_weight, jnp.float32))
-    P_cap = min(params.max_pairs, N * (N + 1) // 2 + 1)
-
-    # frame 0 fixed + invalid poses frozen
-    free = pose_valid & (jnp.arange(N) != 0)
-    free_f = free.astype(jnp.float32)[:, None]
-
-    sc = sort_corrs_by_pair(corrs, N, P_cap, working=params.max_working_corrs)
-    oh_i, oh_j = pair_incidence(sc.pair_i, sc.pair_j, sc.pair_valid, N)
-    # live prefix sizes: chunked passes skip the dead capacity tail
-    n_live = jnp.sum(sc.valid.astype(jnp.int32))
-    n_pairs = jnp.sum(sc.pair_valid.astype(jnp.int32))
-
+    prob = presort_corrs(corrs, N, params)
     c0 = cost(poses, corrs)
-
-    def gn_iter(it, carry):
-        poses, done, last_delta = carry
-        H, b = build_sparse_pair_system(poses, sc, w_sqrt, n_live=n_live)
-        rhs = -_pair_rhs(b, oh_i, oh_j) * free_f
-
-        P = _pair_precond(H, oh_i, oh_j, N) + jnp.eye(6) * 1e-6
-        P_inv = jnp.linalg.inv(P)
-
-        def apply_P(x):
-            return jnp.einsum("nij,nj->ni", P_inv, x) * free_f
-
-        def A(x):
-            return _pair_matvec_f32(
-                H, oh_i, oh_j, x * free_f, n_pairs=n_pairs
-            ) * free_f
-
-        # PCG
-        x0 = jnp.zeros_like(poses)
-        r0 = rhs
-        z0 = apply_P(r0)
-        p0 = z0
-        rz0 = jnp.sum(r0 * z0)
-
-        def pcg_body(state):
-            k, x, rr, z, p, rz, _ = state
-            Ap = A(p)
-            pAp = jnp.sum(p * Ap)
-            alpha = jnp.where(jnp.abs(pAp) > 1e-20, rz / pAp, 0.0)
-            x = x + alpha * p
-            rr = rr - alpha * Ap
-            z = apply_P(rr)
-            rz_new = jnp.sum(rr * z)
-            beta = jnp.where(jnp.abs(rz) > 1e-20, rz_new / rz, 0.0)
-            p = z + beta * p
-            return k + 1, x, rr, z, p, rz_new, alpha
-
-        def pcg_cond(state):
-            k, x, rr, z, p, rz, alpha = state
-            return (k < params.num_pcg) & (jnp.abs(rz) > params.pcg_early_out)
-
-        state = (jnp.asarray(0), x0, r0, z0, p0, rz0, jnp.asarray(1.0))
-        _, delta, *_ = jax.lax.while_loop(pcg_cond, pcg_body, state)
-
-        max_delta = jnp.max(jnp.abs(delta))
-        new_poses = jnp.where(done, poses, poses + delta * free_f)
-        new_done = done | (max_delta < params.gn_early_out_delta)
-        return new_poses, new_done, max_delta
-
-    poses_out, _, _ = jax.lax.fori_loop(
-        0, params.num_gn, gn_iter, (poses, jnp.asarray(False), jnp.asarray(1e9))
-    )
+    poses_out = solve_sparse_presorted(poses, pose_valid, prob, params)
     c1 = cost(poses_out, corrs)
     mr, mr_idx = max_residual(poses_out, corrs)
     stats = SolveStats(
@@ -472,7 +740,7 @@ def solve_sparse(
         num_gn_done=jnp.asarray(params.num_gn),
         max_residual=mr,
         max_residual_corr=mr_idx,
-        num_pairs_dropped=sc.dropped,
+        num_pairs_dropped=prob.sc.dropped,
     )
     return poses_out, stats
 
@@ -521,9 +789,8 @@ def solve_bundle(
     free = pose_valid & (jnp.arange(N) != 0)
     free_f = free.astype(jnp.float32)[:, None]
     sc = sort_corrs_by_pair(corrs, N, P_cap, working=params.max_working_corrs)
-    oh_i, oh_j = pair_incidence(sc.pair_i, sc.pair_j, sc.pair_valid, N)
+    ps = make_pair_seg(sc.pair_i, sc.pair_j, sc.pair_valid, N)
     n_live = jnp.sum(sc.valid.astype(jnp.int32))
-    n_pairs = jnp.sum(sc.pair_valid.astype(jnp.int32))
     c0 = cost(poses, corrs)
 
     def gn_iter(it, carry):
@@ -534,10 +801,10 @@ def solve_bundle(
         pairs, pair_mask = find_overlapping_pairs(poses, pose_valid, cache, intr, dp)
         dsys = build_dense_system(poses, pairs, pair_mask, cache, intr, dp, 1.0, w_color)
 
-        rhs = (-_pair_rhs(b, oh_i, oh_j) + w_dense * dense_rhs(dsys, N)) * free_f
+        rhs = (-_pair_rhs(b, ps, N) + w_dense * dense_rhs(dsys, N)) * free_f
 
         P = (
-            _pair_precond(H, oh_i, oh_j, N)
+            _pair_precond(H, ps, N)
             + w_dense * dense_precond_blocks(dsys, N)
             + jnp.eye(6) * 1e-6
         )
@@ -549,7 +816,7 @@ def solve_bundle(
         def A(x):
             xf = x * free_f
             return (
-                _pair_matvec_f32(H, oh_i, oh_j, xf, n_pairs=n_pairs)
+                _pair_matvec_f32(H, ps, xf)
                 + w_dense * dense_matvec(dsys, xf, N)
             ) * free_f
 

@@ -647,7 +647,21 @@ def apply_tsdf_ops(
     de-integrations before the re-integrations/integrations that follow
     them, mirroring the reference's dispatch order
     (``DepthSensing.cpp: reintegrate()`` then ``integrate()``).
+
+    ``ablate`` is a TIMING-ONLY hook for kernel micro-benchmarks
+    (scripts/ablate.py): 'nosamp' zeroes the image samples and 'all_win2'
+    clamps u/v into a fixed window — both produce WRONG voxel data and
+    must never be set on a production path.
     """
+    assert ablate in (None, "nosamp", "all_win2"), ablate
+    if ablate == "all_win2" and depths.shape[2] < WIN2:
+        # the WIN2 sampling window does not exist for frames narrower than
+        # WIN2 columns ((W - WIN2) & ~7 goes negative and the kernel would
+        # slice at a negative row offset); the normal dispatch gates this
+        # at trace time — the ablation hook must too
+        raise ValueError(
+            f"ablate='all_win2' requires width >= {WIN2}, got {depths.shape[2]}"
+        )
     OPS = poses.shape[0]
     IMGS = depths.shape[0]
     H, W = depths.shape[1:]

@@ -429,8 +429,10 @@ def defrag_prefix(table: VoxelBlockTable, window: int) -> VoxelBlockTable:
     (8, 128)-tiled payload amplify HBM traffic ~8x, so defragging the full
     200K-block table every time would cost ~40 ms. Slots are allocated
     ascending and re-compacted by every defrag, so occupancy stays inside a
-    window ~= live blocks + allocations since the last defrag; size it from
-    the scene scale (engine knob ``defrag_every`` / ``defrag_window``).
+    window ~= live blocks + allocations since the last defrag; callers size
+    it from the scene scale. (Not yet wired into the engine's frame loop —
+    reachable from tests and scripts/predict_defrag.py, which measures the
+    payoff; engine integration is pending.)
     Rows at ``window`` and beyond are left untouched (a partial defrag is
     still valid — their keys/slots/free entries are preserved).
 
@@ -440,6 +442,9 @@ def defrag_prefix(table: VoxelBlockTable, window: int) -> VoxelBlockTable:
     """
     N = table.num_blocks
     window = min(window, N)
+    if window <= 0:
+        # nothing to sort; also avoids an inverted jnp.clip bound below
+        return table
     sk = table.slot_keys[:window]
     order = jnp.argsort(sk)                      # EMPTY (int32 max) sorts last
     sk_sorted = sk[order]
