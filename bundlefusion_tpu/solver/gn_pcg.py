@@ -80,6 +80,10 @@ class SolverParams:
                                      # the per-solve sort/gather work
                                      # scales with THIS, not capacity;
                                      # overflow surfaces in dropped
+    linear: str = "auto"             # linear step: "dense" (direct LU on
+                                     # the reduced [6N, 6N] system),
+                                     # "pcg" (matrix-free), or
+                                     # "auto" = dense for N <= 2048
 
 
 class SolveStats(NamedTuple):
@@ -216,6 +220,18 @@ class SortedCorrs(NamedTuple):
     dropped: jax.Array   # [] int32: segments beyond the P cap
 
 
+def _pair_chunk(P: int) -> int | None:
+    """Chunk length for per-PCG-iteration pair passes, or None for one
+    pass. Live pairs are a prefix of the pair arrays, so dynamic-bound
+    while loops touch only ceil(n_pairs / PB) chunks — the padded pair
+    capacity (H is ~151 MB at P = 262144) stops costing memory bandwidth
+    per PCG iteration."""
+    for pb in (32768, 8192):
+        if P > pb and P % pb == 0:
+            return pb
+    return None
+
+
 def _ranked_working_indices(corrs: CorrStore, num_frames: int, working: int):
     """Pair-budgeted working-set selection for the overflow regime.
 
@@ -228,8 +244,8 @@ def _ranked_working_indices(corrs: CorrStore, num_frames: int, working: int):
     loop closures) win. The reference bounds the same work per-image
     instead (``m_maxCorrPerImage`` = clamp(maxRes/maxIm, 1000, 4000),
     CUDASolverBundling.cpp:39); a per-pair budget is the equivalent bound
-    for a pair-segment solver. Returns ([working] original indices,
-    [working] keep-mask)."""
+    for a pair-segment solver. Returns a [C] keep-mask (so the caller's
+    stable compaction preserves append = pid order)."""
     C = corrs.capacity
     idx = jnp.arange(C)
     v = corrs.valid_mask()
@@ -253,7 +269,8 @@ def _ranked_working_indices(corrs: CorrStore, num_frames: int, working: int):
     o_b = jnp.argsort(key2_g, stable=True)
     o_c = jnp.argsort(rank_g[o_b], stable=True)
     sel = o_b[o_c[:working]]
-    return orig_g[sel], rank_g[sel] != _BIG
+    keep_pos = jnp.where(rank_g[sel] != _BIG, orig_g[sel], C)
+    return jnp.zeros((C,), bool).at[keep_pos].set(True, mode="drop")
 
 
 def sort_corrs_by_pair(
@@ -269,7 +286,16 @@ def sort_corrs_by_pair(
     the full-capacity sort alone cost ~15 ms per solve). On overflow (live
     > working) the selection switches to a pair-budgeted ranking that keeps
     every pair's newest corrs (see ``_ranked_working_indices``); the
-    excess is surfaced in ``dropped``."""
+    excess is surfaced in ``dropped``.
+
+    Sort-free fast path: the engine's stores are pid-sorted BY CONSTRUCTION
+    (``add_to_residuals`` appends the current frame's pairs with ascending
+    previous index, boundaries have ascending current index, and
+    ``compact_corrs`` / the stable compaction here preserve order), so
+    after live-compaction a one-pass monotonicity check usually replaces
+    the argsort entirely — a TPU sort of a multi-million-entry working set
+    costs tens of ms per solve. Revalidation appends (old keyframes
+    re-matching) break monotonicity and fall back to the real sort."""
     C = corrs.capacity
     extra_dropped = jnp.asarray(0, jnp.int32)
     if working is not None and working < C:
@@ -277,17 +303,16 @@ def sort_corrs_by_pair(
         n_live_full = jnp.sum(vfull.astype(jnp.int32))
         extra_dropped = jnp.maximum(n_live_full - working, 0)
 
-        def cheap(_):
-            i = jnp.nonzero(vfull, size=working, fill_value=C)[0]
-            return i, i < C
-
-        def ranked(_):
-            return _ranked_working_indices(corrs, num_frames, working)
-
-        idx, ok = jax.lax.cond(
-            n_live_full > working, ranked, cheap, operand=None
+        keep = jax.lax.cond(
+            n_live_full > working,
+            lambda: _ranked_working_indices(corrs, num_frames, working),
+            lambda: vfull,
         )
+        # stable compaction: preserves append order (= pid order when
+        # monotone), so the fast path below still applies on overflow
+        idx = jnp.nonzero(keep, size=working, fill_value=C)[0]
         ci = jnp.clip(idx, 0, C - 1)
+        ok = idx < C
         corrs = corrs._replace(
             img_i=jnp.where(ok, corrs.img_i[ci], -1),
             img_j=jnp.where(ok, corrs.img_j[ci], -1),
@@ -299,7 +324,22 @@ def sort_corrs_by_pair(
         C = working
     v = corrs.valid_mask()
     pid = jnp.where(v, corrs.img_i * num_frames + corrs.img_j, _BIG)
-    order = jnp.argsort(pid)
+    if C > 65536:
+        # monotone-over-valid check (holes allowed): pid[k] >= max of all
+        # earlier valid pids. Invalid entries must also all trail the
+        # valid ones for the identity order to be a valid "sort".
+        pm = jax.lax.cummax(jnp.where(v, pid, jnp.int32(-1)))
+        pm_prev = jnp.concatenate([jnp.full((1,), -1, jnp.int32), pm[:-1]])
+        vals_ok = jnp.all(~v | (pid >= pm_prev))
+        n_live_c = jnp.sum(v.astype(jnp.int32))
+        prefix_ok = jnp.all(v == (jnp.arange(C) < n_live_c))
+        order = jax.lax.cond(
+            vals_ok & prefix_ok,
+            lambda: jnp.arange(C),
+            lambda: jnp.argsort(pid),
+        )
+    else:
+        order = jnp.argsort(pid)
     pid_s = pid[order]
     v_s = pid_s != _BIG
     is_start = v_s & jnp.concatenate(
@@ -456,15 +496,59 @@ def _seg_reduce(ps: PairSeg, val_i, val_j, N: int):
     return yi[:N] + yj[:N]
 
 
-def _pair_matvec_f32(H, ps: PairSeg, x):
+def _pair_matvec_f32(H, ps: PairSeg, x, n_pairs=None):
     """x [N, 6] -> sum_p S_p^T H_p S_p x via sorted segment reductions.
     Invalid pairs carry zero H blocks (zeroed in the system build), so
-    their gathered x contributions vanish."""
-    xi = x[ps.pair_i]                                 # [P, 6]
-    xj = x[ps.pair_j]
-    xij = jnp.concatenate([xi, xj], axis=-1)          # [P, 12]
-    y = jnp.einsum("pab,pb->pa", H, xij)              # [P, 12]
-    return _seg_reduce(ps, y[:, :6], y[:, 6:], x.shape[0])
+    their gathered x contributions vanish.
+
+    ``n_pairs``: optional live-pair count. Valid pairs are a prefix in
+    both the pid order and the j-sorted order (invalid keys sort last), so
+    when given, the two reduction passes run as dynamic-bound while loops
+    over the live prefix — per-PCG-iteration traffic scales with live
+    pairs, not pair capacity (H alone is ~151 MB at P = 262144; live runs
+    at the drift operating point are a few thousand to ~10^5 pairs)."""
+    N = x.shape[0]
+    P = ps.seg_i.shape[0]
+    PB = _pair_chunk(P)
+    if n_pairs is None or PB is None:
+        xi = x[ps.pair_i]                                 # [P, 6]
+        xj = x[ps.pair_j]
+        xij = jnp.concatenate([xi, xj], axis=-1)          # [P, 12]
+        y = jnp.einsum("pab,pb->pa", H, xij)              # [P, 12]
+        return _seg_reduce(ps, y[:, :6], y[:, 6:], N)
+
+    def y_of(Hc, pic, pjc):
+        xij = jnp.concatenate([x[pic], x[pjc]], axis=-1)
+        return jnp.einsum("pab,pb->pa", Hc, xij)
+
+    def pass_i(state):
+        start, acc = state
+        sl = lambda a: jax.lax.dynamic_slice_in_dim(a, start, PB, 0)
+        # i-side: identity order (order_i is iota under the
+        # sort_corrs_by_pair contract), slice H/pairs/segments directly
+        y = y_of(sl(H), sl(ps.pair_i), sl(ps.pair_j))
+        acc = acc + jax.ops.segment_sum(
+            y[:, :6], sl(ps.seg_i), num_segments=N + 1,
+            indices_are_sorted=True,
+        )
+        return start + PB, acc
+
+    def pass_j(state):
+        start, acc = state
+        oc = jax.lax.dynamic_slice_in_dim(ps.order_j, start, PB, 0)
+        y = y_of(H[oc], ps.pair_i[oc], ps.pair_j[oc])
+        acc = acc + jax.ops.segment_sum(
+            y[:, 6:],
+            jax.lax.dynamic_slice_in_dim(ps.seg_j, start, PB, 0),
+            num_segments=N + 1, indices_are_sorted=True,
+        )
+        return start + PB, acc
+
+    cond = lambda state: state[0] < n_pairs
+    z = jnp.zeros((N + 1, 6), jnp.float32)
+    _, acc_i = jax.lax.while_loop(cond, pass_i, (jnp.asarray(0), z))
+    _, acc_j = jax.lax.while_loop(cond, pass_j, (jnp.asarray(0), z))
+    return acc_i[:N] + acc_j[:N]
 
 
 def _pair_rhs(b, ps: PairSeg, N: int):
@@ -489,6 +573,26 @@ class PresortedProblem(NamedTuple):
     n_live: jax.Array   # length of the valid prefix in ``sc`` at sort time
                         # (invalidation punches holes but never adds valid
                         # entries beyond it, so it stays a correct bound)
+    inv_i: jax.Array    # [N*N] flat (i, j) -> pair index (P = none); the
+                        # dense-assembly GATHER maps (built once per solve;
+                        # a scatter-assembled [6N, 6N] cost ~22 ms per
+                        # scatter on this target, the gather form ~1 ms)
+    inv_j: jax.Array    # [N*N] flat (j, i) -> pair index
+
+
+def _pair_inverse_maps(ps: PairSeg, pair_valid, num_frames: int):
+    """Inverse maps for dense assembly: for each flat block position
+    r = a * N + b, the index of the pair whose (i, j) == (a, b) (via the
+    sorted unique pid list) and the pair whose (j, i) == (a, b)."""
+    N = num_frames
+    P = ps.seg_i.shape[0]
+    NN = N * N
+    idx = jnp.arange(P, dtype=jnp.int32)
+    fi = jnp.where(pair_valid, ps.pair_i * N + ps.pair_j, NN)  # unique
+    fj = jnp.where(pair_valid, ps.pair_j * N + ps.pair_i, NN)  # unique
+    inv_i = jnp.full((NN + 1,), P, jnp.int32).at[fi].set(idx, mode="drop")
+    inv_j = jnp.full((NN + 1,), P, jnp.int32).at[fj].set(idx, mode="drop")
+    return inv_i[:NN], inv_j[:NN]
 
 
 def presort_corrs(
@@ -500,20 +604,109 @@ def presort_corrs(
     )
     ps = make_pair_seg(sc.pair_i, sc.pair_j, sc.pair_valid, num_frames)
     n_live = jnp.sum(sc.valid.astype(jnp.int32))
-    return PresortedProblem(sc=sc, ps=ps, n_live=n_live)
+    use_dense = params.linear == "dense" or (
+        params.linear == "auto" and num_frames <= 2048
+    )
+    if use_dense:
+        inv_i, inv_j = _pair_inverse_maps(ps, sc.pair_valid, num_frames)
+    else:
+        inv_i = inv_j = jnp.zeros((0,), jnp.int32)
+    return PresortedProblem(
+        sc=sc, ps=ps, n_live=n_live, inv_i=inv_i, inv_j=inv_j
+    )
+
+
+def _dense_reduced_solve(H, b, prob: PresortedProblem, free_f, N: int):
+    """Assemble the reduced camera system A = J^T J [6N, 6N] from the
+    per-pair 12x12 blocks and solve A delta = -J^T r DIRECTLY (LU).
+
+    TPU-idiomatic replacement for the PCG inner loop when N is moderate
+    (<= ~2048 poses): on this target a 150-iteration matrix-free PCG costs
+    ~10 device ops per iteration and per-op overhead dominates (~150 ms
+    per solve measured at the capacity operating point), while a 3840x3840
+    LU solve runs in ~10 ms on the MXU. The reference's PCG
+    (``SolverBundling.cu:1024-1108``) is a GPU-shaped choice, not part of
+    the behavioral contract — the energy and the GN outer loop are.
+
+    Assembly: off-diagonal (i, j) blocks are unique per pair, so the
+    [N, N] block grid is GATHERED through the precomputed inverse maps
+    (``_pair_inverse_maps``) — a scatter-add form cost ~22 ms per scatter
+    on this target, the gathers ~1 ms. Diagonal blocks are the
+    block-Jacobi reduction we already have. LU (``jnp.linalg.solve``) and
+    not Cholesky: this target's Cholesky custom call MISCOMPILES when a
+    program contains more than one factorization chain (first chain's
+    inputs read as zero — reproduced and isolated; LU is correct in the
+    same program shapes). Fixed/invalid poses and poses with empty
+    diagonal blocks get identity rows/cols so their delta is exactly 0.
+    """
+    P = H.shape[0]
+    NN = N * N
+    Hij = jnp.concatenate(
+        [H[:, :6, 6:].reshape(P, 36), jnp.zeros((1, 36), jnp.float32)]
+    )
+    Hji = jnp.concatenate(
+        [H[:, 6:, :6].reshape(P, 36), jnp.zeros((1, 36), jnp.float32)]
+    )
+    off = Hij[prob.inv_i] + Hji[prob.inv_j]            # [NN, 36]
+    diag = _pair_precond(H, prob.ps, N)                # [N, 6, 6]
+
+    A = off.reshape(N, N, 6, 6)
+    A = A.at[jnp.arange(N), jnp.arange(N)].add(diag)
+
+    # freeze fixed poses + poses with no constraints this solve
+    strength = jnp.trace(diag, axis1=-2, axis2=-1)     # [N]
+    act = (free_f[:, 0] > 0) & (strength > 1e-9)
+    actf = act.astype(jnp.float32)
+    A = A * (actf[:, None, None, None] * actf[None, :, None, None])
+    A = A.at[jnp.arange(N), jnp.arange(N)].add(
+        jnp.eye(6) * jnp.where(act, 1e-6 * jnp.maximum(strength, 1.0), 1.0)[:, None, None]
+    )
+    rhs = -_pair_rhs(b, prob.ps, N) * actf[:, None]    # [N, 6]
+
+    Ad = A.transpose(0, 2, 1, 3).reshape(6 * N, 6 * N)
+    delta = jnp.linalg.solve(Ad, rhs.reshape(6 * N)).reshape(N, 6)
+    delta = delta * actf[:, None]
+    # a failed factorization (singular after aggressive pruning) must not
+    # poison the trajectory: fall back to no update
+    return jnp.where(jnp.all(jnp.isfinite(delta)), delta, 0.0)
 
 
 def solve_sparse_presorted(
     poses, pose_valid, prob: PresortedProblem, params: SolverParams
 ):
-    """GN/PCG over a presorted problem; returns the updated poses only
+    """GN over a presorted problem; returns the updated poses only
     (no cost/max-residual passes — callers in the pruning loop use
-    ``max_residual_sorted``)."""
+    ``max_residual_sorted``). The linear step is a direct dense reduced
+    solve for moderate N, PCG otherwise (``SolverParams.linear``)."""
     N = poses.shape[0]
+    use_dense = params.linear == "dense" or (
+        params.linear == "auto" and N <= 2048
+    )
     w_sqrt = jnp.sqrt(jnp.asarray(params.sparse_weight, jnp.float32))
     free = pose_valid & (jnp.arange(N) != 0)
     free_f = free.astype(jnp.float32)[:, None]
-    sc, ps, n_live = prob
+    sc, ps, n_live = prob.sc, prob.ps, prob.n_live
+    n_pairs = jnp.sum(sc.pair_valid.astype(jnp.int32))
+
+    if use_dense:
+        # unrolled (num_gn is static and small): a rolled fori_loop is the
+        # shape in which this target's factorization miscompile manifested.
+        # Converged iterations are cond-skipped — a GN step costs ~60 ms at
+        # capacity scale and the steady state converges in one.
+        done = jnp.asarray(False)
+        p = poses
+
+        def gn_step(p):
+            H, b = build_sparse_pair_system(p, sc, w_sqrt, n_live=n_live)
+            delta = _dense_reduced_solve(H, b, prob, free_f, N)
+            return p + delta * free_f, jnp.max(jnp.abs(delta))
+
+        for _ in range(params.num_gn):
+            p, max_delta = jax.lax.cond(
+                done, lambda p: (p, jnp.asarray(0.0)), gn_step, p
+            )
+            done = done | (max_delta < params.gn_early_out_delta)
+        return p
 
     def gn_iter(it, carry):
         poses, done = carry
@@ -527,7 +720,7 @@ def solve_sparse_presorted(
             return jnp.einsum("nij,nj->ni", P_inv, x) * free_f
 
         def A(x):
-            return _pair_matvec_f32(H, ps, x * free_f) * free_f
+            return _pair_matvec_f32(H, ps, x * free_f, n_pairs=n_pairs) * free_f
 
         # PCG
         x0 = jnp.zeros_like(poses)
@@ -570,7 +763,7 @@ def max_residual_sorted(poses, prob: PresortedProblem):
     pair (fa, fb) of the argmax corr (fa = -1 when nothing is valid).
     The ``computeMaxResidual`` analog for the pruning loop — operating on
     the working set the solve actually saw."""
-    sc, _, n_live = prob
+    sc, n_live = prob.sc, prob.n_live
     C = sc.valid.shape[0]
     KB = _chunk_size(C)
 
@@ -654,7 +847,7 @@ def guided_kill_mask(
     of the newest keyframe whose residual is high NOW and was
     ``prev_factor``x higher under the previous trajectory (a bad loop
     closure, not drift). Chunked over the working arrays."""
-    sc, _, n_live = prob
+    sc, n_live = prob.sc, prob.n_live
     C = sc.valid.shape[0]
     NN = num_frames * num_frames
     hi_thresh = jnp.clip(0.2 * mr, 0.1, 0.4)
@@ -791,6 +984,7 @@ def solve_bundle(
     sc = sort_corrs_by_pair(corrs, N, P_cap, working=params.max_working_corrs)
     ps = make_pair_seg(sc.pair_i, sc.pair_j, sc.pair_valid, N)
     n_live = jnp.sum(sc.valid.astype(jnp.int32))
+    n_pairs = jnp.sum(sc.pair_valid.astype(jnp.int32))
     c0 = cost(poses, corrs)
 
     def gn_iter(it, carry):
@@ -816,7 +1010,7 @@ def solve_bundle(
         def A(x):
             xf = x * free_f
             return (
-                _pair_matvec_f32(H, ps, xf)
+                _pair_matvec_f32(H, ps, xf, n_pairs=n_pairs)
                 + w_dense * dense_matvec(dsys, xf, N)
             ) * free_f
 

@@ -1,4 +1,4 @@
-"""Capacity-scale drift-correction / relocalization evidence (DRIFT_r04).
+"""Capacity-scale drift-correction / relocalization evidence (DRIFT_r05).
 
 VERDICT r3 item 6: the hardest round-3 correctness run was 24 keyframes.
 This harness runs >= 600 keyframes (reference capacity regime, submap 10)
@@ -102,10 +102,13 @@ def main():
     # a 131072 store filled at kf ~112, a 1M store at kf ~370 — and
     # comprehensive invalidation then killed every later keyframe (the
     # round-4 early runs' validity cliffs).
+    # Round-5 sizing: pair budget >= the loop-dense pair count so the
+    # solve drops ~nothing (VERDICT r4 item 2); the dense-LU reduced solve
+    # + presort reuse keep the boundary bounded at this scale.
     bundling = BundlingConfig(
         width_sift=w, height_sift=h,
         max_global_corr=1 << 23,
-        solver_max_pairs=131072,
+        solver_max_pairs=262144,
         solver_max_working_corrs=1 << 22,
     )
     sift_cfg = SiftConfig(
@@ -182,7 +185,7 @@ def main():
         "invariants": inv,
         "compile_s": round(t_compile, 1),
     }
-    with open(os.path.join(ROOT, "DRIFT_r04.json"), "w") as fh:
+    with open(os.path.join(ROOT, "DRIFT_r05.json"), "w") as fh:
         json.dump(out, fh, indent=1)
     print(json.dumps(out))
     assert all(v == 0 for v in inv.values()), inv
