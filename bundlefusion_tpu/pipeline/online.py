@@ -95,6 +95,7 @@ from bundlefusion_tpu.solver.gn_pcg import (
     apply_pair_kill_sorted,
     apply_pair_kill_store,
     compute_residuals,
+    corr_counts_per_frame_sorted,
     guided_kill_mask,
     invalidate_pair_sorted,
     max_residual,
@@ -779,9 +780,11 @@ class BundleFusion:
 
                 # ---- comprehensive frame invalidation: valid keyframes left
                 # without correspondences after pruning lose their pose
-                # (CheckForInvalidFramesCU, SIFTImageManager.cu:725-764) ----
+                # (CheckForInvalidFramesCU, SIFTImageManager.cu:725-764).
+                # Counts come from the presorted working set (prune kills
+                # are mirrored into it), NOT a full-capacity scatter ----
                 if bundling.use_comprehensive_frame_invalidation:
-                    counts = corr_counts_per_frame(corrs, G)
+                    counts = corr_counts_per_frame_sorted(prob, G)
                     ks = jnp.arange(G)
                     keep = (counts > 0) | (ks == 0) | (ks > g)
                     kf_valid = kf_valid & keep

@@ -310,3 +310,21 @@ def dense_precond_blocks(sys: DensePairSystem, num_frames: int):
     out = out.at[jnp.where(sys.mask, i, num_frames)].add(Hii, mode="drop")
     out = out.at[jnp.where(sys.mask, j, num_frames)].add(Hjj, mode="drop")
     return out[:num_frames]
+
+
+def dense_block_matrix(sys: DensePairSystem, num_frames: int):
+    """Assemble the dense-term contribution as a full [N, N, 6, 6] block
+    grid (for the direct reduced solve; P is small — 64 pairs at the local
+    solve — so the scatter is trivial)."""
+    import jax.numpy as jnp
+
+    N = num_frames
+    i = jnp.where(sys.mask, sys.pairs[:, 0], N)
+    j = jnp.where(sys.mask, sys.pairs[:, 1], N)
+    Hm = jnp.where(sys.mask[:, None, None], sys.H, 0.0)
+    A = jnp.zeros((N + 1, N + 1, 6, 6), sys.H.dtype)
+    A = A.at[i, i].add(Hm[:, :6, :6], mode="drop")
+    A = A.at[i, j].add(Hm[:, :6, 6:], mode="drop")
+    A = A.at[j, i].add(Hm[:, 6:, :6], mode="drop")
+    A = A.at[j, j].add(Hm[:, 6:, 6:], mode="drop")
+    return A[:N, :N]

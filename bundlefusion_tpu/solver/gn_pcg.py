@@ -291,72 +291,105 @@ def sort_corrs_by_pair(
     Sort-free fast path: the engine's stores are pid-sorted BY CONSTRUCTION
     (``add_to_residuals`` appends the current frame's pairs with ascending
     previous index, boundaries have ascending current index, and
-    ``compact_corrs`` / the stable compaction here preserve order), so
-    after live-compaction a one-pass monotonicity check usually replaces
-    the argsort entirely — a TPU sort of a multi-million-entry working set
-    costs tens of ms per solve. Revalidation appends (old keyframes
-    re-matching) break monotonicity and fall back to the real sort."""
+    compactions are stable), so a one-pass monotonicity check usually
+    replaces the argsort entirely — a TPU sort of a multi-million-entry
+    working set costs hundreds of ms per solve. Revalidation appends (old
+    keyframes re-matching) break monotonicity and fall back to the real
+    sort.
+
+    The working window is a STATIC SLICE of the store's first ``working``
+    rows (the append cursor rarely passes it between the engine's periodic
+    compactions), not a live-compaction: the full-capacity ``jnp.nonzero``
+    compaction alone cost ~700 ms per boundary at the 2^23 capacity store.
+    Invalidation holes inside the window are tolerated: segment
+    construction FILLS each hole with the enclosing pair id (cummax), so a
+    pair id still maps to exactly one segment (the unique-index contract
+    of the dense-assembly inverse maps) and hole entries ride along with
+    zero contribution through the validity masks."""
     C = corrs.capacity
     extra_dropped = jnp.asarray(0, jnp.int32)
     if working is not None and working < C:
         vfull = corrs.valid_mask()
         n_live_full = jnp.sum(vfull.astype(jnp.int32))
-        extra_dropped = jnp.maximum(n_live_full - working, 0)
 
-        keep = jax.lax.cond(
-            n_live_full > working,
-            lambda: _ranked_working_indices(corrs, num_frames, working),
-            lambda: vfull,
+        def cheap(_):
+            # static contiguous slice — order-preserving, no gathers
+            return (
+                corrs.img_i[:working], corrs.img_j[:working],
+                corrs.p_i[:working], corrs.p_j[:working],
+                corrs.key_i[:working], corrs.key_j[:working],
+            )
+
+        def ranked(_):
+            keep = _ranked_working_indices(corrs, num_frames, working)
+            idx = jnp.nonzero(keep, size=working, fill_value=C)[0]
+            ci = jnp.clip(idx, 0, C - 1)
+            ok = idx < C
+            return (
+                jnp.where(ok, corrs.img_i[ci], -1),
+                jnp.where(ok, corrs.img_j[ci], -1),
+                jnp.where(ok[:, None], corrs.p_i[ci], 0.0),
+                jnp.where(ok[:, None], corrs.p_j[ci], 0.0),
+                jnp.where(ok, corrs.key_i[ci], -1),
+                jnp.where(ok, corrs.key_j[ci], -1),
+            )
+
+        # the expensive ranked selection only runs when the CURSOR passes
+        # the window (the engine compacts the store long before that in
+        # the common regime)
+        img_i, img_j, p_i, p_j, key_i, key_j = jax.lax.cond(
+            corrs.count > working, ranked, cheap, operand=None
         )
-        # stable compaction: preserves append order (= pid order when
-        # monotone), so the fast path below still applies on overflow
-        idx = jnp.nonzero(keep, size=working, fill_value=C)[0]
-        ci = jnp.clip(idx, 0, C - 1)
-        ok = idx < C
         corrs = corrs._replace(
-            img_i=jnp.where(ok, corrs.img_i[ci], -1),
-            img_j=jnp.where(ok, corrs.img_j[ci], -1),
-            p_i=jnp.where(ok[:, None], corrs.p_i[ci], 0.0),
-            p_j=jnp.where(ok[:, None], corrs.p_j[ci], 0.0),
-            key_i=jnp.where(ok, corrs.key_i[ci], -1),
-            key_j=jnp.where(ok, corrs.key_j[ci], -1),
+            img_i=img_i, img_j=img_j, p_i=p_i, p_j=p_j,
+            key_i=key_i, key_j=key_j,
         )
         C = working
+        n_live_window = jnp.sum((img_i >= 0).astype(jnp.int32))
+        extra_dropped = jnp.maximum(n_live_full - n_live_window, 0)
     v = corrs.valid_mask()
     pid = jnp.where(v, corrs.img_i * num_frames + corrs.img_j, _BIG)
     if C > 65536:
         # monotone-over-valid check (holes allowed): pid[k] >= max of all
-        # earlier valid pids. Invalid entries must also all trail the
-        # valid ones for the identity order to be a valid "sort".
+        # earlier valid pids -> the identity order IS a valid sort for the
+        # hole-filling segment construction below
         pm = jax.lax.cummax(jnp.where(v, pid, jnp.int32(-1)))
         pm_prev = jnp.concatenate([jnp.full((1,), -1, jnp.int32), pm[:-1]])
         vals_ok = jnp.all(~v | (pid >= pm_prev))
-        n_live_c = jnp.sum(v.astype(jnp.int32))
-        prefix_ok = jnp.all(v == (jnp.arange(C) < n_live_c))
         order = jax.lax.cond(
-            vals_ok & prefix_ok,
+            vals_ok,
             lambda: jnp.arange(C),
             lambda: jnp.argsort(pid),
         )
     else:
         order = jnp.argsort(pid)
-    pid_s = pid[order]
-    v_s = pid_s != _BIG
-    is_start = v_s & jnp.concatenate(
-        [jnp.ones((1,), bool), pid_s[1:] != pid_s[:-1]]
-    )
-    is_end = v_s & jnp.concatenate(
-        [pid_s[1:] != pid_s[:-1], jnp.ones((1,), bool)]
-    )
-    n_seg = jnp.sum(is_start.astype(jnp.int32))
-    starts = jnp.nonzero(is_start, size=max_pairs, fill_value=C - 1)[0]
-    ends = jnp.nonzero(is_end, size=max_pairs, fill_value=C - 1)[0]
-    pair_valid = jnp.arange(max_pairs) < n_seg
-    # per-corr segment id (sorted, monotone); invalid / beyond-cap -> cap
-    seg_id = jnp.cumsum(is_start.astype(jnp.int32)) - 1
-    seg_id = jnp.where(v_s & (seg_id < max_pairs), seg_id, max_pairs)
     img_i_s = corrs.img_i[order]
     img_j_s = corrs.img_j[order]
+    v_s = img_i_s >= 0
+    pid_s = jnp.where(v_s, img_i_s * num_frames + img_j_s, _BIG)
+    # hole-filled pair ids: invalid entries inherit the previous valid pid,
+    # so holes merge into the enclosing segment instead of splitting it
+    pid_fill = jax.lax.cummax(jnp.where(v_s, pid_s, jnp.int32(-1)))
+    prev_fill = jnp.concatenate([jnp.full((1,), -1, jnp.int32), pid_fill[:-1]])
+    is_start = v_s & (pid_s != prev_fill)
+    n_seg = jnp.sum(is_start.astype(jnp.int32))
+    pair_valid = jnp.arange(max_pairs) < n_seg
+    # per-corr segment id: holes ride with the enclosing segment (their
+    # contributions are zeroed by the validity masks everywhere); entries
+    # before the first valid corr map to segment 0 the same way; beyond
+    # the pair cap -> the dropped bucket. Monotone by construction.
+    cum_starts = jnp.cumsum(is_start.astype(jnp.int32))
+    seg_raw = cum_starts - 1
+    seg_id = jnp.minimum(jnp.maximum(seg_raw, 0), max_pairs)
+    # segment boundaries without a full-length nonzero: cum_starts is
+    # monotone and steps exactly at each segment's first VALID entry, so
+    # starts[s] = first position with cum_starts == s + 1 (leading holes
+    # carry seg_id 0 but cum_starts 0, so they are correctly skipped);
+    # ends[s] includes any trailing holes riding the segment (unused
+    # downstream beyond bounds)
+    sq = jnp.arange(max_pairs)
+    starts = jnp.clip(jnp.searchsorted(cum_starts, sq + 1, side="left"), 0, C - 1)
+    ends = jnp.clip(jnp.searchsorted(cum_starts, sq + 1, side="right") - 1, 0, C - 1)
     return SortedCorrs(
         img_i=img_i_s,
         img_j=img_j_s,
@@ -570,9 +603,10 @@ class PresortedProblem(NamedTuple):
 
     sc: SortedCorrs
     ps: PairSeg
-    n_live: jax.Array   # length of the valid prefix in ``sc`` at sort time
-                        # (invalidation punches holes but never adds valid
-                        # entries beyond it, so it stays a correct bound)
+    n_live: jax.Array   # chunk bound: one past the last valid entry in
+                        # ``sc`` at sort time (holes may sit below it;
+                        # invalidation never adds valid entries beyond it,
+                        # so it stays a correct bound)
     inv_i: jax.Array    # [N*N] flat (i, j) -> pair index (P = none); the
                         # dense-assembly GATHER maps (built once per solve;
                         # a scatter-assembled [6N, 6N] cost ~22 ms per
@@ -603,7 +637,11 @@ def presort_corrs(
         corrs, num_frames, P_cap, working=params.max_working_corrs
     )
     ps = make_pair_seg(sc.pair_i, sc.pair_j, sc.pair_valid, num_frames)
-    n_live = jnp.sum(sc.valid.astype(jnp.int32))
+    # chunk bound for the working-set passes: one past the LAST valid
+    # entry (the identity-order fast path keeps invalidation holes in
+    # place, so "live count" is not a valid bound)
+    Cw = sc.valid.shape[0]
+    n_live = jnp.max(jnp.where(sc.valid, jnp.arange(Cw) + 1, 0))
     use_dense = params.linear == "dense" or (
         params.linear == "auto" and num_frames <= 2048
     )
@@ -616,7 +654,10 @@ def presort_corrs(
     )
 
 
-def _dense_reduced_solve(H, b, prob: PresortedProblem, free_f, N: int):
+def _dense_reduced_solve(
+    H, b, prob: PresortedProblem, free_f, N: int,
+    A_extra=None, rhs_extra=None,
+):
     """Assemble the reduced camera system A = J^T J [6N, 6N] from the
     per-pair 12x12 blocks and solve A delta = -J^T r DIRECTLY (LU).
 
@@ -652,6 +693,12 @@ def _dense_reduced_solve(H, b, prob: PresortedProblem, free_f, N: int):
 
     A = off.reshape(N, N, 6, 6)
     A = A.at[jnp.arange(N), jnp.arange(N)].add(diag)
+    rhs = -_pair_rhs(b, prob.ps, N)                    # [N, 6]
+    if A_extra is not None:
+        A = A + A_extra
+        diag = diag + A_extra[jnp.arange(N), jnp.arange(N)]
+    if rhs_extra is not None:
+        rhs = rhs + rhs_extra
 
     # freeze fixed poses + poses with no constraints this solve
     strength = jnp.trace(diag, axis1=-2, axis2=-1)     # [N]
@@ -661,7 +708,7 @@ def _dense_reduced_solve(H, b, prob: PresortedProblem, free_f, N: int):
     A = A.at[jnp.arange(N), jnp.arange(N)].add(
         jnp.eye(6) * jnp.where(act, 1e-6 * jnp.maximum(strength, 1.0), 1.0)[:, None, None]
     )
-    rhs = -_pair_rhs(b, prob.ps, N) * actf[:, None]    # [N, 6]
+    rhs = rhs * actf[:, None]
 
     Ad = A.transpose(0, 2, 1, 3).reshape(6 * N, 6 * N)
     delta = jnp.linalg.solve(Ad, rhs.reshape(6 * N)).reshape(N, 6)
@@ -831,6 +878,45 @@ def apply_pair_kill_sorted(
     return prob._replace(sc=sc._replace(valid=sc.valid & ~killed[pid]))
 
 
+def corr_counts_per_frame_sorted(prob: PresortedProblem, num_frames: int):
+    """Per-frame live-corr counts over the presorted WORKING set (the
+    ``CheckForInvalidFrames`` input). The full-store twin
+    (``residuals.corr_counts_per_frame``) scatter-adds over store capacity
+    — ~700 ms per boundary at the 2^23 capacity store on this target; this
+    form does chunked SORTED segment sums over the live prefix (~10 ms).
+    Counts only cover the working set the solver actually saw — consistent
+    with the reference, which counts over the solver's residual set
+    (``CUDASolverBundling``'s corr table)."""
+    sc = prob.sc
+    C = sc.valid.shape[0]
+    P_cap = sc.pair_valid.shape[0]
+    KB = _chunk_size(C)
+
+    def chunk_counts(acc, valid, seg_id):
+        return acc + jax.ops.segment_sum(
+            valid.astype(jnp.int32), seg_id, num_segments=P_cap + 1,
+            indices_are_sorted=True,
+        )
+
+    if KB is None:
+        pc = chunk_counts(
+            jnp.zeros((P_cap + 1,), jnp.int32), sc.valid, sc.seg_id
+        )
+    else:
+        def body(state):
+            start, acc = state
+            sl = lambda a: jax.lax.dynamic_slice_in_dim(a, start, KB, 0)
+            return start + KB, chunk_counts(acc, sl(sc.valid), sl(sc.seg_id))
+
+        _, pc = jax.lax.while_loop(
+            lambda s: s[0] < prob.n_live, body,
+            (jnp.asarray(0), jnp.zeros((P_cap + 1,), jnp.int32)),
+        )
+    pcf = pc[:P_cap].astype(jnp.float32)[:, None]
+    counts = _seg_reduce(prob.ps, pcf, pcf, num_frames)
+    return counts[:, 0].astype(jnp.int32)
+
+
 def guided_kill_mask(
     poses_now,
     poses_prev,
@@ -965,6 +1051,7 @@ def solve_bundle(
     from bundlefusion_tpu.solver.dense_term import (
         DenseTermParams,
         build_dense_system,
+        dense_block_matrix,
         dense_matvec,
         dense_precond_blocks,
         dense_rhs,
@@ -973,6 +1060,9 @@ def solve_bundle(
 
     dp = dense_params or DenseTermParams()
     N = poses.shape[0]
+    use_dense_lin = params.linear == "dense" or (
+        params.linear == "auto" and N <= 2048
+    )
     if dense_weights is None:
         dense_weights = jnp.arange(1, params.num_gn + 1, dtype=jnp.float32)
     dense_weights = jnp.asarray(dense_weights, jnp.float32)
@@ -981,11 +1071,49 @@ def solve_bundle(
 
     free = pose_valid & (jnp.arange(N) != 0)
     free_f = free.astype(jnp.float32)[:, None]
-    sc = sort_corrs_by_pair(corrs, N, P_cap, working=params.max_working_corrs)
-    ps = make_pair_seg(sc.pair_i, sc.pair_j, sc.pair_valid, N)
-    n_live = jnp.sum(sc.valid.astype(jnp.int32))
+    prob = presort_corrs(corrs, N, params)
+    sc, ps, n_live = prob.sc, prob.ps, prob.n_live
     n_pairs = jnp.sum(sc.pair_valid.astype(jnp.int32))
     c0 = cost(poses, corrs)
+
+    if use_dense_lin:
+        # direct LU on the combined sparse + weighted-dense reduced system
+        # (same rationale and same miscompile avoidance as
+        # solve_sparse_presorted's dense path)
+        done = jnp.asarray(False)
+        p = poses
+        for it in range(params.num_gn):
+            w_dense = dense_weights[min(it, dense_weights.shape[0] - 1)]
+
+            def gn_step(p, w_dense=w_dense):
+                H, b = build_sparse_pair_system(p, sc, w_sqrt, n_live=n_live)
+                pairs, pair_mask = find_overlapping_pairs(
+                    p, pose_valid, cache, intr, dp
+                )
+                dsys = build_dense_system(
+                    p, pairs, pair_mask, cache, intr, dp, 1.0, w_color
+                )
+                delta = _dense_reduced_solve(
+                    H, b, prob, free_f, N,
+                    A_extra=w_dense * dense_block_matrix(dsys, N),
+                    rhs_extra=w_dense * dense_rhs(dsys, N),
+                )
+                return p + delta * free_f, jnp.max(jnp.abs(delta))
+
+            p, max_delta = jax.lax.cond(
+                done, lambda p: (p, jnp.asarray(0.0)), gn_step, p
+            )
+            done = done | (max_delta < params.gn_early_out_delta)
+        c1 = cost(p, corrs)
+        mr, mr_idx = max_residual(p, corrs)
+        return p, SolveStats(
+            initial_cost=c0,
+            final_cost=c1,
+            num_gn_done=jnp.asarray(params.num_gn),
+            max_residual=mr,
+            max_residual_corr=mr_idx,
+            num_pairs_dropped=sc.dropped,
+        )
 
     def gn_iter(it, carry):
         poses, done = carry
