@@ -1337,9 +1337,24 @@ class BundleFusion:
         with self.timing.stage("time_re_integrate", ft):
             if self.app.integration_enabled:
                 if prof:
-                    with self.device_timing.stage("dev_tsdf"):
-                        self._tsdf_dispatch(store_slot, T_world_dev, valid_dev)
-                        jax.block_until_ready(self.table)
+                    # split the replay sample by path: a rows (re-
+                    # integration) dispatch costs ~an order of magnitude
+                    # more than the plain fast path, and averaging them
+                    # under one name made the round-4 attribution claim a
+                    # 5x-too-high per-frame device time
+                    import time as _time
+
+                    rows_before = self.reint_frames
+                    _t0 = _time.perf_counter()
+                    self._tsdf_dispatch(store_slot, T_world_dev, valid_dev)
+                    jax.block_until_ready(self.table)
+                    _dt = _time.perf_counter() - _t0
+                    self.device_timing.add(
+                        "dev_tsdf_rows"
+                        if self.reint_frames > rows_before
+                        else "dev_tsdf",
+                        _dt,
+                    )
                 else:
                     self._tsdf_dispatch(store_slot, T_world_dev, valid_dev)
 

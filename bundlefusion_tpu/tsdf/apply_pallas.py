@@ -775,8 +775,11 @@ def apply_tsdf_ops(
     return table._replace(sdf=sdf, weight=weight, color=color)
 
 
-def apply_tsdf_ops_xla(
-    table: VoxelBlockTable,
+def apply_tsdf_ops_rows(
+    key,               # int32 [R] packed block coords per payload row
+    sdf_rows,          # f32 [R, V]
+    weight_rows,       # f32 [R, V]
+    color_rows,        # f32 [R, 3V]
     depths,
     colors,
     poses,
@@ -784,15 +787,13 @@ def apply_tsdf_ops_xla(
     img_of_op,
     intr: CameraIntrinsics,
     params: TsdfParams,
-) -> VoxelBlockTable:
-    """Pure-XLA twin of :func:`apply_tsdf_ops` (CPU path + test oracle).
-
-    Applies the ops sequentially over the full slot range with the same
-    sampling quantization (bf16 hi/lo depth, bf16 color) so results match
-    the kernel bit-for-bit.
-    """
-    N = table.num_blocks
-    key = table.slot_keys[:N]
+):
+    """Row-range core of the XLA twin: apply the op batch to an arbitrary
+    set of payload rows (each row fully independent given its packed block
+    key). This is the unit the MAP-SHARDED integrate distributes over a
+    device mesh (``parallel/map_sharded.py``) — block rows shard cleanly
+    because integration touches nothing but the row itself plus the
+    replicated input images. Returns (sdf, weight, color) rows."""
     live = key != EMPTY_KEY
     kx = ((key & (GRID_DIM - 1)) - GRID_HALF).astype(jnp.float32)
     ky = (((key >> GRID_BITS) & (GRID_DIM - 1)) - GRID_HALF).astype(jnp.float32)
@@ -862,11 +863,35 @@ def apply_tsdf_ops_xla(
         new_col = jnp.maximum(col + rgb_cm * jnp.tile(appc, (1, 3)), 0.0)
         return new_sdf, new_w, new_col
 
-    sdf, w, col = jax.lax.fori_loop(
+    return jax.lax.fori_loop(
         0,
         poses.shape[0],
         op_body,
-        (table.sdf[:N], table.weight[:N], table.color[:N]),
+        (sdf_rows, weight_rows, color_rows),
+    )
+
+
+def apply_tsdf_ops_xla(
+    table: VoxelBlockTable,
+    depths,
+    colors,
+    poses,
+    signs,
+    img_of_op,
+    intr: CameraIntrinsics,
+    params: TsdfParams,
+) -> VoxelBlockTable:
+    """Pure-XLA twin of :func:`apply_tsdf_ops` (CPU path + test oracle).
+
+    Applies the ops sequentially over the full slot range with the same
+    sampling quantization (bf16 hi/lo depth, bf16 color) so results match
+    the kernel bit-for-bit.
+    """
+    N = table.num_blocks
+    sdf, w, col = apply_tsdf_ops_rows(
+        table.slot_keys[:N], table.sdf[:N], table.weight[:N],
+        table.color[:N], depths, colors, poses, signs, img_of_op,
+        intr, params,
     )
     return table._replace(
         sdf=table.sdf.at[:N].set(sdf),

@@ -193,7 +193,57 @@ def evaluate_frontend_fidelity(
                         "good": bool(
                             n_in > 0 and (inl2 & correct).sum() >= 0.8 * n_in
                         ),
+                        "perturb_m": 0.0,
                     }
                 )
+                # graded-perturbation rows: the reference thresholds exist
+                # to REJECT drifted transforms (FilterMatchesByDenseVerifyCU,
+                # SIFTImageManager.cu:491-606); the clean-geometry rows all
+                # pass trivially, so the sweep needs pairs whose transform
+                # error straddles the decision surface. Perturb the solved
+                # transform by a graded translation + rotation and label by
+                # whether the pose error stays within the correctness
+                # threshold — rows near the boundary produce the fp/fn
+                # structure a discriminating sweep requires.
+                if bool(np.asarray(kf["valid_pair"])):
+                    axis = np.array(
+                        [np.sin(j * 1.7), np.cos(i * 2.3), np.sin(i + j)],
+                        np.float32,
+                    )
+                    axis /= max(np.linalg.norm(axis), 1e-6)
+                    for mag in (0.01, 0.025, 0.05, 0.08, 0.15):
+                        w_rot = axis * (mag * 0.5)
+                        cw = np.array(
+                            [
+                                [0, -w_rot[2], w_rot[1]],
+                                [w_rot[2], 0, -w_rot[0]],
+                                [-w_rot[1], w_rot[0], 0],
+                            ],
+                            np.float32,
+                        )
+                        Rp = np.eye(3, dtype=np.float32) + cw  # small-angle
+                        Tp = np.asarray(kf["transform"]).copy()
+                        Tp[:3, :3] = Rp @ Tp[:3, :3]
+                        Tp[:3, 3] += axis * mag
+                        _, e_p, c_p = dense_verify_pair(
+                            jnp.asarray(Tp),
+                            caches[j].depth[0], caches[j].campos[0],
+                            caches[j].normal[0],
+                            caches[i].depth[0], caches[i].campos[0],
+                            caches[i].normal[0],
+                            intr_cache, fp.dense,
+                        )
+                        ev.dense_rows.append(
+                            {
+                                "j": j, "i": i,
+                                "err": float(np.asarray(e_p)),
+                                "corr": float(np.asarray(c_p)),
+                                "n_in": n_in,
+                                # pose error ~ mag translation + lever-arm
+                                # rotation; good iff within dist_thresh
+                                "good": bool(mag < dist_thresh),
+                                "perturb_m": float(mag),
+                            }
+                        )
 
     return ev, ev.summary()

@@ -74,6 +74,12 @@ class TimingLog:
     def stage(self, attr: str, ft: Optional[FrameTiming] = None) -> "_Stage":
         return TimingLog._Stage(self, ft, attr)
 
+    def add(self, attr: str, dt: float) -> None:
+        """Record one sample directly (for stages whose name is only known
+        after the fact, e.g. the TSDF replay's plain/rows split)."""
+        self._totals[attr] += dt
+        self._counts[attr] += 1
+
     def averages(self) -> Dict[str, float]:
         return {
             k: self._totals[k] / max(self._counts[k], 1) for k in sorted(self._totals)

@@ -112,18 +112,6 @@ def main():
         G = 8
         n_frames = 9
 
-    # dispatch+sync floor: the TPU is reached through a runtime tunnel, so
-    # every block_until_ready round trip pays ~tens of ms of latency that
-    # is NOT device-execution time. Measure it with a null program and
-    # report it so per-program times can be read as exec ~= ms - null_ms.
-    import jax.numpy as jnp_
-
-    null_fn = jax.jit(lambda x: x + 1.0)
-    x0 = jnp_.zeros((8,), jnp_.float32)
-    null_fn(x0).block_until_ready()
-    null_ms, _ = time_it(lambda: null_fn(x0), n=30)
-    print(f"null (dispatch+sync RTT) = {null_ms:.2f} ms", flush=True)
-
     seq = make_sequence(n_frames, intr=intr)
     eng = BundleFusion(intr, app, bundling, sift_cfg=sift_cfg, max_keyframes=G)
     print(f"warmup (compile) ...", flush=True)
@@ -133,6 +121,22 @@ def main():
     for i in range(n_frames):
         eng.process_frame(seq["depth"][i], seq["color"][i])
     jax.block_until_ready((eng.local, eng.glob, eng.table))
+
+    # dispatch+sync floor: the TPU is reached through a runtime tunnel, so
+    # every block_until_ready round trip pays ~tens of ms of latency that
+    # is NOT device-execution time. Measured AFTER the engine drive — the
+    # tunnel's dispatch path degrades once engine programs have run
+    # (bench.py documents this), and the per-program timings below run in
+    # exactly that degraded state, so the same floor must be subtracted
+    # (the round-4 ROOFLINE measured 0.076 ms pre-degradation vs the
+    # bench's 23.46 ms post — mutually inconsistent attributions).
+    import jax.numpy as jnp_
+
+    null_fn = jax.jit(lambda x: x + 1.0)
+    x0 = jnp_.zeros((8,), jnp_.float32)
+    null_fn(x0).block_until_ready()
+    null_ms, _ = time_it(lambda: null_fn(x0), n=30)
+    print(f"null (dispatch+sync RTT, post-drive) = {null_ms:.2f} ms", flush=True)
 
     sub_len = eng.S - 1
     f = n_frames
