@@ -81,7 +81,19 @@ HT = 8                            # sampling chunk rows: slots allocate in
                                   # WIN * 5*VW MACs PER VOXEL — window size
                                   # is the whole cost model
 WIN = 64                          # u-window columns for MXU sampling
-WIN2 = 128                        # wider u-window (near-camera fallback)
+WIN2 = 128                        # wider u-window (near-camera fallback).
+                                  # NEGATIVE RESULT (round 5): adding a
+                                  # WIN3=256 tier between WIN2 and the
+                                  # full-W fallbacks LOST ~3 ms/frame at
+                                  # the bench point (26.9 -> 24.8 fps)
+                                  # despite the ablation showing all-WIN2
+                                  # sampling at 3.9 ms vs the real mix's
+                                  # 12.2 ms — the extra pl.when branches
+                                  # cost more per chunk than the saved
+                                  # MACs. Cutting fallback cost needs a
+                                  # restructure (e.g. per-block windows in
+                                  # one batched contraction), not more
+                                  # dispatch tiers.
 VW = 128                          # v-window columns (HP is always >= 128);
                                   # VW=64 measured SLOWER: tilted x-strips
                                   # project diagonally, v-span tracks u-span
